@@ -1,0 +1,185 @@
+"""Mention detection + pattern-based SVO triple extraction.
+
+The reference's expensive model stages (MedCPT encoders, cross-encoder rerank,
+rag2-retriever/query_encode.py:51-78, rerank.py:37-75) are replaced by
+deterministic lexical semantics with the SAME dataflow shape:
+
+- mention detection  = dictionary longest-match over token n-grams
+  (reference analog: FAISS candidate generation, retrieve.py:11-126)
+- triple extraction  = predicate-phrase patterns connecting two mentions in a
+  sentence (reference analog: the per-(query,doc) scoring loop, rerank.py:25-33)
+
+Everything here is pure Python over tokens so the pandas oracle and the Spark
+pandas-UDFs share one implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .config import MAX_ARG_GAP, MAX_MENTION_TOKENS
+from .text import normalize_alias, tokenize
+
+# Predicate lexicon: phrase (lowercase, space-joined tokens) -> normalized
+# predicate. Multi-word phrases are matched longest-first.
+PREDICATE_LEXICON: dict[str, str] = {
+    "inhibits": "inhibits",
+    "suppresses": "inhibits",
+    "blocks": "inhibits",
+    "activates": "activates",
+    "stimulates": "activates",
+    "upregulates": "activates",
+    "treats": "treats",
+    "is a treatment for": "treats",
+    "is used to treat": "treats",
+    "alleviates": "treats",
+    "causes": "causes",
+    "induces": "causes",
+    "triggers": "causes",
+    "prevents": "prevents",
+    "protects against": "prevents",
+    "is associated with": "associated_with",
+    "correlates with": "associated_with",
+    "binds": "binds",
+    "binds to": "binds",
+    "targets": "binds",
+    "interacts with": "interacts_with",
+    "increases": "increases",
+    "elevates": "increases",
+    "decreases": "decreases",
+    "reduces": "decreases",
+    "lowers": "decreases",
+}
+
+# Longest-first phrase list for greedy matching.
+_PRED_PHRASES = sorted(
+    ((tuple(p.split()), norm) for p, norm in PREDICATE_LEXICON.items()),
+    key=lambda kv: -len(kv[0]),
+)
+MAX_PRED_TOKENS = max(len(p) for p, _ in _PRED_PHRASES)
+
+
+@dataclass(frozen=True)
+class Mention:
+    surface: str       # original text span
+    alias_key: str     # normalized join key into concept_aliases
+    tok_start: int     # token index (inclusive)
+    tok_end: int       # token index (exclusive)
+    char_start: int
+    char_end: int
+
+
+@dataclass(frozen=True)
+class RawTriple:
+    subj_surface: str
+    subj_key: str
+    pred: str
+    obj_surface: str
+    obj_key: str
+    confidence: float
+
+
+def detect_mentions(sentence: str, alias_keys: "set[str] | frozenset[str]") -> list[Mention]:
+    """Greedy left-to-right longest-match dictionary mention detection.
+
+    At each token position try n-gram lengths MAX_MENTION_TOKENS..1 against the
+    normalized alias-key set; on a hit, emit the mention and jump past it
+    (non-overlapping). Deterministic for a fixed dictionary.
+    """
+    toks = tokenize(sentence)
+    mentions: list[Mention] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        hit = None
+        for span in range(min(MAX_MENTION_TOKENS, n - i), 0, -1):
+            words = toks[i : i + span]
+            key = normalize_alias(" ".join(w for w, _, _ in words))
+            if key in alias_keys:
+                hit = (span, key, words)
+                break
+        if hit is None:
+            i += 1
+            continue
+        span, key, words = hit
+        cs, ce = words[0][1], words[-1][2]
+        mentions.append(
+            Mention(
+                surface=sentence[cs:ce],
+                alias_key=key,
+                tok_start=i,
+                tok_end=i + span,
+                char_start=cs,
+                char_end=ce,
+            )
+        )
+        i += span
+    return mentions
+
+
+def detect_predicates(sentence: str) -> list[tuple[str, int, int]]:
+    """Return (normalized_pred, tok_start, tok_end) occurrences, greedy
+    longest-first, non-overlapping, left-to-right."""
+    toks = [t.lower() for t, _, _ in tokenize(sentence)]
+    out: list[tuple[str, int, int]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        hit = None
+        for phrase, norm in _PRED_PHRASES:
+            k = len(phrase)
+            if i + k <= n and tuple(toks[i : i + k]) == phrase:
+                hit = (norm, k)
+                break
+        if hit is None:
+            i += 1
+        else:
+            norm, k = hit
+            out.append((norm, i, i + k))
+            i += k
+    return out
+
+
+def extract_triples(sentence: str, alias_keys: "set[str] | frozenset[str]") -> list[RawTriple]:
+    """SVO assembly: for each predicate occurrence pick the nearest mention
+    ending at-or-before its start (subject) and the nearest mention starting
+    at-or-after its end (object), both within MAX_ARG_GAP tokens.
+
+    confidence = 1.0 - 0.1 * (subj_gap + obj_gap), floored at 0.1; gap = token
+    distance between mention and predicate phrase. Deterministic.
+    """
+    mentions = detect_mentions(sentence, alias_keys)
+    if len(mentions) < 2:
+        return []
+    preds = detect_predicates(sentence)
+    if not preds:
+        return []
+    triples: list[RawTriple] = []
+    for pred, ps, pe in preds:
+        subj = None
+        subj_gap = None
+        for m in mentions:
+            if m.tok_end <= ps:
+                gap = ps - m.tok_end
+                if gap <= MAX_ARG_GAP and (subj_gap is None or gap < subj_gap):
+                    subj, subj_gap = m, gap
+        obj = None
+        obj_gap = None
+        for m in mentions:
+            if m.tok_start >= pe:
+                gap = m.tok_start - pe
+                if gap <= MAX_ARG_GAP and (obj_gap is None or gap < obj_gap):
+                    obj, obj_gap = m, gap
+        if subj is None or obj is None or subj is obj:
+            continue
+        conf = max(0.1, round(1.0 - 0.1 * (subj_gap + obj_gap), 4))
+        triples.append(
+            RawTriple(
+                subj_surface=subj.surface,
+                subj_key=subj.alias_key,
+                pred=pred,
+                obj_surface=obj.surface,
+                obj_key=obj.alias_key,
+                confidence=conf,
+            )
+        )
+    return triples
