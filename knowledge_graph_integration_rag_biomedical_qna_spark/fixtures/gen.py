@@ -184,6 +184,8 @@ def gen_transcripts(
             )
     df = pd.DataFrame(rows)
     df["turn_idx"] = df["turn_idx"].astype("int32")
+    # microsecond precision: Spark parquet readers reject TIMESTAMP(NANOS)
+    df["ts"] = df["ts"].astype("datetime64[us]")
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 

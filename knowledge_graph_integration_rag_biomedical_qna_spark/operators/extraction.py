@@ -1,0 +1,96 @@
+"""Stages [2]+[3] — mention detection and SVO triple extraction.
+
+Both run as `mapInPandas` over the turn table: Arrow-batched, per-turn
+stateless, NO shuffle (they inherit the conv_id partitioning from stage [1]).
+The alias-key dictionary is shipped once per executor as a SparkContext
+broadcast (the reference instead held article dictionaries in driver RAM,
+rag2-filtering/filtering_module.py:44,62 — here the dictionary rides the
+broadcast bus and the data never visits the driver).
+
+Reference analogs:
+- sentence split: rag2-retriever/query_encode.py:10-48 (scispacy .sents)
+- dictionary candidate generation: FAISS corpus lookup main.py:119-167
+- SVO patterns: the engine-side substitute for generation-model extraction
+  (SURVEY.md §2.8 M8): deterministic, shared with the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..core.patterns import detect_mentions, extract_triples
+from ..core.text import split_sentences
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("mention_idx", T.IntegerType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("alias_key", T.StringType(), False),
+        T.StructField("tok_start", T.IntegerType(), False),
+        T.StructField("tok_end", T.IntegerType(), False),
+    ]
+)
+
+RAW_TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("subj_surface", T.StringType(), False),
+        T.StructField("subj_key", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj_surface", T.StringType(), False),
+        T.StructField("obj_key", T.StringType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+    ]
+)
+
+_MENTION_COLS = list(MENTIONS_SCHEMA.fieldNames())
+_TRIPLE_COLS = list(RAW_TRIPLES_SCHEMA.fieldNames())
+
+
+def detect_mentions_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
+    """mentions(conv_id, turn_idx, sent_idx, mention_idx, surface, alias_key,
+    tok_start, tok_end) — one row per dictionary hit."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = alias_keys_bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for si, sent in enumerate(split_sentences(text)):
+                    for mi, m in enumerate(detect_mentions(sent, keys)):
+                        rows.append(
+                            (conv_id, turn_idx, si, mi, m.surface, m.alias_key,
+                             m.tok_start, m.tok_end)
+                        )
+            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, MENTIONS_SCHEMA)
+
+
+def extract_triples_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
+    """raw_triples(conv_id, turn_idx, sent_idx, subj/pred/obj surfaces+keys,
+    confidence) — unlinked SVO pattern hits."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = alias_keys_bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for si, sent in enumerate(split_sentences(text)):
+                    for t in extract_triples(sent, keys):
+                        rows.append(
+                            (conv_id, turn_idx, si, t.subj_surface, t.subj_key,
+                             t.pred, t.obj_surface, t.obj_key, t.confidence)
+                        )
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, RAW_TRIPLES_SCHEMA)

@@ -20,7 +20,7 @@ def oracle_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
     """Stage [1] semantics: stable (conv_id, turn_idx, ts, role) ordering,
     first-wins dedup of duplicate (conv_id, turn_idx), drop empty text."""
     df = transcripts.sort_values(
-        ["conv_id", "turn_idx", "ts", "role"], kind="mergesort"
+        ["conv_id", "turn_idx", "ts", "role", "text", "tool"], kind="mergesort"
     ).drop_duplicates(["conv_id", "turn_idx"], keep="first")
     df = df[df["text"].fillna("").str.strip() != ""]
     return df.reset_index(drop=True)

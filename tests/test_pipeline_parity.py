@@ -1,0 +1,125 @@
+"""The correctness gate: Spark pipeline vs pandas oracle on seed-42 fixtures.
+
+BASELINE.json targets enforced here:
+- triple P/R >= 0.95 on (conv_id, turn_idx, subj_cui, pred, obj_cui)
+  (by construction of shared semantics we expect exactly 1.0)
+- per-turn text equality under stable (conv_id, turn_idx) ordering
+- canonicalization node parity
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.pipeline import (
+    oracle_mentions,
+    oracle_nodes,
+    oracle_triples,
+    oracle_turns,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+
+TRIPLE_KEY = ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"]
+
+
+@pytest.fixture(scope="module")
+def kg(spark, fixture_dir):
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    return build_kg(spark, transcripts, aliases)
+
+
+@pytest.fixture(scope="module")
+def gold(tables):
+    turns = oracle_turns(tables["transcripts"])
+    aliases = tables["concept_aliases"]
+    return {
+        "turns": turns,
+        "mentions": oracle_mentions(turns, aliases),
+        "triples": oracle_triples(turns, aliases),
+    }
+
+
+def _pr(pred: pd.DataFrame, gold: pd.DataFrame, key: list[str]) -> tuple[float, float]:
+    p = set(map(tuple, pred[key].itertuples(index=False)))
+    g = set(map(tuple, gold[key].itertuples(index=False)))
+    if not p or not g:
+        return (0.0, 0.0)
+    inter = len(p & g)
+    return inter / len(p), inter / len(g)
+
+
+def test_turn_text_equality(kg, gold):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    got = (
+        kg.turns.select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = gold["turns"][["conv_id", "turn_idx", "text"]].sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mention_parity(kg, gold):
+    got = kg.mentions.toPandas()
+    key = ["conv_id", "turn_idx", "sent_idx", "mention_idx", "alias_key", "surface"]
+    prec, rec = _pr(got, gold["mentions"], key)
+    assert prec == 1.0 and rec == 1.0, (prec, rec, len(got), len(gold["mentions"]))
+
+
+def test_triple_pr_gate(kg, gold):
+    """The headline gate: P/R >= 0.95 (expected exactly 1.0)."""
+    got = kg.kg_edges.toPandas()
+    prec, rec = _pr(got, gold["triples"], TRIPLE_KEY)
+    assert prec >= 0.95 and rec >= 0.95, (prec, rec)
+    assert prec == 1.0 and rec == 1.0, (prec, rec)
+    # confidence values carried through identically
+    g = gold["triples"].sort_values(TRIPLE_KEY).reset_index(drop=True)
+    s = got.sort_values(TRIPLE_KEY).reset_index(drop=True)
+    assert len(g) == len(s)
+    assert (g["confidence"].values == s["confidence"].values).all()
+
+
+def test_node_parity(kg, tables, gold):
+    want = oracle_nodes(gold["mentions"], tables["concept_aliases"])
+    got = kg.kg_nodes.toPandas().sort_values("cui").reset_index(drop=True)
+    assert list(got["cui"]) == list(want["cui"])
+    assert got["mention_count"].tolist() == want["mention_count"].tolist()
+    for a, b in zip(got["surfaces"], want["surfaces"]):
+        assert list(a) == list(b)
+
+
+def test_candidates_topk_deterministic(kg):
+    """Candidate table: rank unique per (alias_key, surface), rank<=10,
+    scores non-increasing with rank."""
+    pdf = kg.candidates.toPandas()
+    assert pdf["rank"].max() <= 10
+    grp = pdf.sort_values(["alias_key", "surface", "rank"]).groupby(["alias_key", "surface"])
+    for _, g in grp:
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert (g["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_linking_functional(kg):
+    """Linking is functional: at most one accepted CUI per (alias_key, surface)."""
+    dup = (
+        kg.resolution.groupBy("alias_key", "surface")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+
+def test_provenance_invariant(kg, tables):
+    """No triple without a source (conv_id, turn_idx) present in the input."""
+    src = tables["transcripts"][["conv_id", "turn_idx"]].drop_duplicates()
+    edges = kg.kg_edges.select("conv_id", "turn_idx").distinct().toPandas()
+    merged = edges.merge(src, on=["conv_id", "turn_idx"], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
