@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "turns_per_sec": ..., "turns": ...}
+
+The headline metric is the KG-construction pipeline (turns -> kg_edges +
+kg_nodes) over transcripts synthesized from the documents table — the
+BASELINE.json throughput target is turns/sec. A representative slice of the
+operator registry runs alongside for per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "t1_topk_per_group",
+    "p4_percentile_filter",
+    "a7_canonical_grouping",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "text_fingerprint",
+    "sessionize_events",
+    "kg_pipeline_full",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import REGISTRY
+    from knowledge_graph_integration_rag_biomedical_qna_spark.session import get_spark
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import (
+        synth_transcripts,
+    )
+
+    spark = get_spark(app_name="kg_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm the JVM/Python-worker pools so timings measure the plans, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # headline: turns/sec through the full pipeline (kg_pipeline_full timing,
+    # normalized by the input turn count after assembly-eligible filtering)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_turns = synth_transcripts(docs).count()
+    kg_sec = timings["kg_pipeline_full"]
+    turns_per_sec = round(n_turns / kg_sec, 1) if kg_sec > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1146 @@
+"""Driver-contract query registry: every implemented operator from SURVEY.md §2
+as a (spark_callable, duckdb_oracle_sql) pair.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+stable across engines:
+- every computed float is rounded IN-QUERY on both sides (raw column
+  passthroughs are bit-identical from parquet and stay unrounded);
+- big double sums are scaled (/1000) before rounding so cross-engine
+  summation-order noise sits far below the rounding step;
+- timestamps are emitted as formatted strings;
+- every top-k / argmax pins deterministic tie-breaks on a unique key;
+- column names are aliased identically in the DataFrame code and the SQL.
+
+Queries tagged `sql=None` are genuinely non-SQL-expressible here (full KG
+pipeline with pandas-UDF extraction, simhash needing crc32, iterative IVF) and
+get the driver's weaker rows-only check; their semantics are pytest-verified
+against the pandas oracle / numpy instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scans, filters, projections (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+@q(
+    "p1_empty_text_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE trim(text) <> '' AND n_chars >= 100
+    """,
+)
+def p1_empty_text_filter(spark, sf_dir):
+    """P1 empty-abstract filter (ref: empty_abstract_filter.py:94-101)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter((F.trim("text") != "") & (F.col("n_chars") >= 100)).select(
+        "doc_id", "n_chars"
+    )
+
+
+@q(
+    "p2_delta_threshold_filter",
+    """
+    SELECT event_id, event_type, round(delta, 4) AS delta
+    FROM (
+      SELECT event_id, event_type,
+             value - avg(value) OVER (PARTITION BY event_type) AS delta
+      FROM events
+    ) WHERE delta >= 0.25
+    """,
+)
+def p2_delta_threshold_filter(spark, sf_dir):
+    """P2/P3 helpfulness-delta filter shape (ref: filtering_module.py:125-162):
+    keep rows whose score exceeds the group baseline by >= 0.25."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("delta", F.col("value") - F.avg("value").over(w))
+        .filter(F.col("delta") >= 0.25)
+        .select("event_id", "event_type", F.round("delta", 4).alias("delta"))
+    )
+
+
+@q(
+    "p4_percentile_filter",
+    """
+    SELECT event_id, event_type, value
+    FROM (
+      SELECT event_id, event_type, value,
+             quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS p75
+      FROM events
+    ) WHERE value > p75 AND value > 0.5
+    """,
+)
+def p4_percentile_filter(spark, sf_dir):
+    """P4 percentile+floor filter (ref: context_pruning.py:36-51): per-group
+    dynamic predicate — keep values above the group's 75th percentile AND a
+    fixed floor."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("p75", F.expr("percentile(value, 0.75)").over(w))
+        .filter((F.col("value") > F.col("p75")) & (F.col("value") > 0.5))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@q(
+    "p5_coalesce_projection",
+    """
+    SELECT doc_id,
+           coalesce(nullif(trim(text), ''), '<empty:' || lang || '>') AS doc_text
+    FROM documents
+    """,
+)
+def p5_coalesce_projection(spark, sf_dir):
+    """P5 tagged-union text projection (ref: main.py:206-217 coalesce chain)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.trim("text"), F.lit("")),
+            F.concat(F.lit("<empty:"), F.col("lang"), F.lit(">")),
+        ).alias("doc_text"),
+    )
+
+
+@q(
+    "p9_group_min_filter",
+    """
+    SELECT user_id, min(value) AS min_value
+    FROM events GROUP BY user_id HAVING min(value) < 0.5
+    """,
+)
+def p9_group_min_filter(spark, sf_dir):
+    """P9 at-least-one-negative-label filter shape (ref:
+    preprocess_labeled_data.py:103-105): groups qualified by their min."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min("value").alias("min_value"))
+        .filter(F.col("min_value") < 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q(
+    "j1_broadcast_decode_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey % 100 = 0
+    """,
+)
+def j1_broadcast_decode_join(spark, sf_dir):
+    """J1 ordinal->record decode as a broadcast hash join (ref:
+    retrieve.py:160-168); dimension side explicitly broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    part = _t(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left").select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice"
+    )
+
+
+@q(
+    "j2_keyed_lookup_join",
+    """
+    SELECT s.s_name, count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def j2_keyed_lookup_join(spark, sf_dir):
+    """J2 keyed dictionary lookup -> broadcast join + count (ref:
+    filtering_module.py:69-99 pmid+chunk cache)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@q(
+    "j6_eval_accuracy",
+    """
+    SELECT round(avg(CASE WHEN vec_id % 10 = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           count(*) AS n
+    FROM embeddings
+    """,
+)
+def j6_eval_accuracy(spark, sf_dir):
+    """J6+A1 gold join + accuracy aggregate (ref: metrics.py:38-51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.round(
+            F.avg(F.when(F.col("vec_id") % 10 == F.col("label"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "u3_anti_join_resume",
+    """
+    SELECT DISTINCT user_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    )
+    """,
+)
+def u3_anti_join_resume(spark, sf_dir):
+    """U3/P8 resume-by-skip as LEFT ANTI join (ref: cot_generation.py:71-73):
+    users with no 'purchase' event (the not-yet-processed set)."""
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return ev.select("user_id").distinct().join(purchasers, "user_id", "left_anti")
+
+
+@q(
+    "asof_prev_click",
+    """
+    SELECT event_id,
+           coalesce(strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S'), '') AS prev_click
+    FROM (
+      SELECT event_id,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+      FROM events
+    )
+    """,
+)
+def asof_prev_click(spark, sf_dir):
+    """As-of join (Spark lacks a native one): latest preceding 'click' per
+    user via a conditional running max — order-insensitive aggregate, so it is
+    deterministic under duplicate timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.date_format(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+            F.lit(""),
+        ).alias("prev_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates, sorts, top-k, set ops (SURVEY §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+@q(
+    "a2_argmax_per_group",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a2_argmax_per_group(spark, sf_dir):
+    """A2 per-group argmax (ref: cxmi_pruning.py:161-165) with pinned ties."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_type", "event_id", "value")
+    )
+
+
+@q(
+    "a5_deterministic_sample",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 50
+    """,
+)
+def a5_deterministic_sample(spark, sf_dir):
+    """A5 seeded reservoir sample (ref: empty_abstract_filter.py:126-141):
+    md5-ranked deterministic n-per-group sample."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("event_id", "event_type")
+    )
+
+
+@q(
+    "a6_dedup_first_seen",
+    """
+    SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def a6_dedup_first_seen(spark, sf_dir):
+    """A6 first-seen dedup (ref: context_pruning.py:78-85) as min-id-per-text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select("rep_id", "n_dups")
+
+
+@q(
+    "a7_canonical_grouping",
+    """
+    SELECT lang, count(*) AS n,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+    FROM documents GROUP BY lang
+    """,
+)
+def a7_canonical_grouping(spark, sf_dir):
+    """A7 surface-form canonical grouping (collect_set + count), CSV-encoded
+    for engine-portable comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources_csv"),
+    )
+
+
+@q(
+    "t1_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def t1_topk_per_group(spark, sf_dir):
+    """T1 per-group top-k (ref: rerank.py:66-74) — partial top-k, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "t5_global_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def t5_global_limit(spark, sf_dir):
+    """T5 head-n truncation (ref: preprocess_labeled_data.py:87-89) — global
+    ordered limit (TakeOrderedAndProject, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+
+
+@q(
+    "u1_union_corpora",
+    """
+    SELECT corpus, count(*) AS n FROM (
+      SELECT doc_id AS id, 'doc' AS corpus FROM documents
+      UNION ALL
+      SELECT event_id AS id, 'event' AS corpus FROM events
+    ) GROUP BY corpus
+    """,
+)
+def u1_union_corpora(spark, sf_dir):
+    """U1 multi-corpus union (ref: rerank.py:5-23) via unionByName."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.lit("doc").alias("corpus")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), F.lit("event").alias("corpus")
+    )
+    return docs.unionByName(ev).groupBy("corpus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@q(
+    "f_scalar_functions",
+    r"""
+    SELECT doc_id,
+           upper(substr(trim(text), 1, 10)) AS head10,
+           coalesce(regexp_extract(upper(text), '(OPTION\s*)?[\(\[]?([A-E])[\)\].: ]', 2), '') AS choice,
+           regexp_extract(source, '([0-9]+)$', 1) AS src_num,
+           lang || '. ' || source AS title_cat,
+           length(text) AS n_len
+    FROM documents
+    """,
+)
+def f_scalar_functions(spark, sf_dir):
+    """F5/F8/F4/F12 scalar pack: choice-extraction regex
+    (ref: metrics.py:5-21), filename-number regex (empty_abstract_filter.py:10-19),
+    title+abstract concat (filtering_module.py:92-94), upper/trim."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(F.trim("text"), 1, 10)).alias("head10"),
+        F.regexp_extract(F.upper("text"), r"(OPTION\s*)?[\(\[]?([A-E])[\)\].: ]", 2).alias("choice"),
+        F.regexp_extract("source", r"([0-9]+)$", 1).alias("src_num"),
+        F.concat_ws(". ", "lang", "source").alias("title_cat"),
+        F.length("text").alias("n_len"),
+    )
+
+
+@q(
+    "f2_sep_join",
+    r"""
+    SELECT doc_id,
+           array_to_string(list_filter(str_split(text, ' '), x -> length(x) > 1), ' [SEP] ') AS sep_text
+    FROM documents
+    """,
+)
+def f2_sep_join(spark, sf_dir):
+    """F2 [SEP]-joined query build (ref: query_encode.py:29-42): join units
+    longer than 1 char with ' [SEP] ', no trailing separator."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 1), " [SEP] "
+        ).alias("sep_text"),
+    )
+
+
+@q(
+    "f_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_val
+    FROM events
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    """Semi-structured projection: JSON field extraction (schema-on-read)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").alias("k_val"))
+
+
+# ---------------------------------------------------------------------------
+# KG-shaped queries over the generic corpus (SQL-checkable twins of stages 2-6)
+# ---------------------------------------------------------------------------
+
+_TRIPLE_PAT = r"(\w+) (join|merge|scan|filter|sort) (\w+)"
+
+_KG_TRIPLES_SQL = rf"""
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_TRIPLE_PAT}', 1)) AS subj,
+             unnest(regexp_extract_all(text, '{_TRIPLE_PAT}', 2)) AS pred,
+             unnest(regexp_extract_all(text, '{_TRIPLE_PAT}', 3)) AS obj
+      FROM documents
+"""
+
+
+def _kg_triples_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pat = F.lit(_TRIPLE_PAT)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all("text", pat, 1).alias("subj"),
+                    F.regexp_extract_all("text", pat, 2).alias("pred"),
+                    F.regexp_extract_all("text", pat, 3).alias("obj"),
+                )
+            ).alias("m"),
+        )
+        .select("doc_id", F.col("m.subj").alias("subj"), F.col("m.pred").alias("pred"), F.col("m.obj").alias("obj"))
+    )
+
+
+@q("kg_triple_extract_regex", _KG_TRIPLES_SQL)
+def kg_triple_extract_regex(spark, sf_dir):
+    """Stage [3] shape, SQL-checkable: SVO pattern extraction via
+    regexp_extract_all over the corpus (predicates = corpus verbs)."""
+    return _kg_triples_df(spark, sf_dir)
+
+
+_KG_DICT = [
+    ("spark", "K01", 0.9), ("customer", "K02", 0.9), ("table", "K03", 0.9),
+    ("window", "K04", 0.9), ("vector", "K05", 0.9), ("column", "K06", 0.9),
+    ("batch", "K07", 0.9), ("stream", "K08", 0.9),
+    ("data", "K09", 0.8), ("data", "K10", 0.3),
+]
+_KG_DICT_SQL = "VALUES " + ", ".join(f"('{a}', '{c}', {p})" for a, c, p in _KG_DICT)
+
+
+def _kg_dict_df(spark):
+    return spark.createDataFrame(_KG_DICT, "alias string, cui string, prior double")
+
+
+@q(
+    "kg_entity_link_top1",
+    f"""
+    WITH triples AS ({_KG_TRIPLES_SQL}),
+    surfaces AS (
+      SELECT subj AS surface FROM triples
+      UNION
+      SELECT obj AS surface FROM triples
+    ),
+    dict(alias, cui, prior) AS ({_KG_DICT_SQL}),
+    ranked AS (
+      SELECT s.surface, d.cui, d.prior,
+             row_number() OVER (PARTITION BY s.surface ORDER BY d.prior DESC, d.cui ASC) AS rn
+      FROM surfaces s JOIN dict d ON s.surface = d.alias
+    )
+    SELECT surface, cui, prior FROM ranked WHERE rn = 1
+    """,
+)
+def kg_entity_link_top1(spark, sf_dir):
+    """Stages [4]-[5] shape, SQL-checkable: distinct surfaces x broadcast
+    dictionary -> deterministic top-1 link (prior desc, cui asc)."""
+    triples = _kg_triples_df(spark, sf_dir)
+    surfaces = (
+        triples.select(F.col("subj").alias("surface"))
+        .union(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    d = _kg_dict_df(spark)
+    w = Window.partitionBy("surface").orderBy(F.col("prior").desc(), F.col("cui").asc())
+    return (
+        surfaces.join(F.broadcast(d), surfaces.surface == d["alias"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("surface", "cui", "prior")
+    )
+
+
+@q(
+    "kg_canonicalize_nodes",
+    f"""
+    WITH triples AS ({_KG_TRIPLES_SQL}),
+    mentions AS (
+      SELECT doc_id, subj AS surface FROM triples
+      UNION ALL
+      SELECT doc_id, obj AS surface FROM triples
+    ),
+    dict(alias, cui, prior) AS ({_KG_DICT_SQL}),
+    links AS (
+      SELECT surface, cui FROM (
+        SELECT d.alias AS surface, d.cui,
+               row_number() OVER (PARTITION BY d.alias ORDER BY d.prior DESC, d.cui ASC) AS rn
+        FROM dict d
+      ) WHERE rn = 1
+    )
+    SELECT l.cui, count(*) AS mention_count,
+           string_agg(DISTINCT m.surface, ',' ORDER BY m.surface) AS surfaces_csv
+    FROM mentions m JOIN links l ON m.surface = l.surface
+    GROUP BY l.cui
+    """,
+)
+def kg_canonicalize_nodes(spark, sf_dir):
+    """Stage [6] shape, SQL-checkable: canonical grouping of linked mention
+    occurrences into CUI nodes (salted two-phase agg in the Spark plan)."""
+    triples = _kg_triples_df(spark, sf_dir)
+    mentions = triples.select("doc_id", F.col("subj").alias("surface")).unionByName(
+        triples.select("doc_id", F.col("obj").alias("surface"))
+    )
+    d = _kg_dict_df(spark)
+    w = Window.partitionBy("alias").orderBy(F.col("prior").desc(), F.col("cui").asc())
+    links = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(F.col("alias").alias("surface"), "cui")
+    )
+    joined = mentions.join(F.broadcast(links), "surface")
+    # salted two-phase aggregate (hot surfaces like 'data' dominate)
+    salted = joined.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+    partial = salted.groupBy("cui", "_salt").agg(
+        F.collect_set("surface").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("cui").agg(
+        F.sum("c").alias("mention_count"),
+        F.array_join(F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))), ",").alias("surfaces_csv"),
+    ).select("cui", "mention_count", "surfaces_csv")
+
+
+@q(
+    "kg_turn_assembly_window",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_ord
+    FROM events
+    """,
+)
+def kg_turn_assembly_window(spark, sf_dir):
+    """Stage [1] shape, SQL-checkable: stable per-conversation ordering via
+    window row_number with pinned tie-breaks."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "event_id", F.row_number().over(w).alias("turn_ord"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    from .operators.text_analysis import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subtokens"),
+    )
+
+
+@q(
+    "text_quality_score",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id,
+             n_punct / greatest(length(text), 1) AS pr,
+             len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+               / greatest(len(toks), 1) AS sr,
+             (length(text) BETWEEN 30 AND 10000) AS len_ok
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(floor(pr * 1000000) AS BIGINT) AS punct_ratio_u6,
+           CAST(floor(sr * 1000000) AS BIGINT) AS stopword_ratio_u6,
+           CAST(floor((0.4 * (CASE WHEN len_ok THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - least(pr * 4, 1.0))
+                 + 0.3 * least(sr * 5, 1.0)) * 100000) AS BIGINT) AS quality_u5
+    FROM ratios
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Micro-unit (floor-scaled) outputs: floor has no round-half tie rule, so
+    identical IEEE doubles on both engines floor identically."""
+    from .operators.text_analysis import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pr = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    sr = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    len_ok = (F.length("text") >= 30) & (F.length("text") <= 10000)
+    quality = (
+        0.4 * len_ok.cast("double")
+        + 0.3 * (F.lit(1.0) - F.least(pr * 4, F.lit(1.0)))
+        + 0.3 * F.least(sr * 5, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.floor(pr * 1000000).cast("bigint").alias("punct_ratio_u6"),
+        F.floor(sr * 1000000).cast("bigint").alias("stopword_ratio_u6"),
+        F.floor(quality * 100000).cast("bigint").alias("quality_u5"),
+    )
+
+
+@q(
+    "text_lang_id",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS n_en,
+             len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS n_fr,
+             len(list_filter(toks, t -> t IN ('el','los','las','una','por'))) AS n_es,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ein'))) AS n_de
+      FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de AND n_fr > 0 THEN 'fr'
+                WHEN n_es >= n_en AND n_es >= n_de AND n_es > 0 THEN 'es'
+                WHEN n_en >= n_de AND n_en > 0 THEN 'en'
+                WHEN n_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM cnt
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    from .operators.text_analysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    from .operators.text_analysis import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data ops)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_hash",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("text_hash", "rep_id", "n_dups")
+
+
+# shingle CTE shared by minhash queries: word 3-grams, distinct per doc
+_SHINGLE_CTE = r"""
+    toks AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    )
+"""
+
+
+@q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))}
+    FROM sh GROUP BY id
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    from .operators.dedup import minhash_signatures, with_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(with_shingles(docs, n=3), num_hashes=8)
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))}
+      FROM sh GROUP BY id
+    ),
+    banded AS (
+      SELECT id, b.band,
+             CASE b.band
+               WHEN 0 THEN h0 || '|' || h1 || '|' || h2 || '|' || h3
+               WHEN 1 THEN h4 || '|' || h5 || '|' || h6 || '|' || h7
+               WHEN 2 THEN h8 || '|' || h9 || '|' || h10 || '|' || h11
+               ELSE h12 || '|' || h13 || '|' || h14 || '|' || h15
+             END AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.35
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, n=3, num_hashes=16, bands=4, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (training-data ops)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cosine
+      FROM v e, qs q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (FAISS IndexFlatIP analog) — JVM-side math."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@q(
+    "ann_threshold_pairs",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def ann_threshold_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.5) with label blocking."""
+    from .operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.5, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessions / time (streaming-adjacent batch shapes)
+# ---------------------------------------------------------------------------
+
+@q(
+    "sessionize_events",
+    """
+    SELECT event_id, user_id,
+           sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM (
+      SELECT event_id, user_id, ts,
+             date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+      FROM events
+    )
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: lag(ts) + cumulative sum over gap > 30 min."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(wo))
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .withColumn(
+            "session_idx",
+            F.sum(
+                F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000), 1).otherwise(0)
+            ).over(run),
+        )
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """T3-style running aggregate within deterministic per-key order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 4).alias("running"))
+
+
+@q(
+    "rollup_aggregates",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_aggregates(spark, sf_dir):
+    """Hierarchical rollup aggregate (integer-valued sums: cross-engine exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark, sf_dir):
+    """Pivot: per-returnflag counts by linestatus (pivot -> conditional agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        )
+    )
+
+
+@q(
+    "hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark, sf_dir):
+    """Tumbling-window aggregate (batch twin of the streaming windowed count)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline relational queries
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice) / 1000, 2) AS sum_price_k,
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000, 2) AS revenue_k,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the engine's relational-aggregate headline query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") / 1000, 2).alias("sum_price_k"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1000, 2).alias("revenue_k"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q3_order_revenue",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) / 1000, 3) AS revenue_k
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+      AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def q3_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + group; dimension joins broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    seg = c.agg(F.min("c_mktsegment")).first()[0]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == seg)), o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1000, 3).alias("revenue_k")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check; pytest-verified)
+# ---------------------------------------------------------------------------
+
+@q("kg_pipeline_full", None)
+def kg_pipeline_full(spark, sf_dir):
+    """The flagship: full KG construction over transcripts synthesized from
+    the documents table — stages [1]-[6] with pandas-UDF extraction. Verified
+    against the pandas oracle in pytest (P/R == 1.0); rows-only check here."""
+    from .plans.pipeline import build_kg
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = synth_transcripts(docs)
+    aliases = synth_aliases(spark)
+    kg = build_kg(spark, transcripts, aliases)
+    return kg.kg_edges.select(
+        "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"
+    )
+
+
+@q("kg_nodes_full", None)
+def kg_nodes_full(spark, sf_dir):
+    """Canonicalized node table of the flagship pipeline (salted groupBy)."""
+    from .plans.pipeline import build_kg
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    kg = build_kg(spark, synth_transcripts(docs), synth_aliases(spark))
+    return kg.kg_nodes.select(
+        "cui", F.array_join("surfaces", ",").alias("surfaces_csv"), "mention_count"
+    )
+
+
+@q("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (crc32 unavailable in the SQL oracle —
+    rows-only; semantics pytest-verified with planted duplicates)."""
+    from .operators.dedup import simhash, simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash(docs), prefix_bits=16)
+
+
+@q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (iterative centroid refinement — not one SQL
+    statement; recall vs brute force pytest-verified)."""
+    from .operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assignments, centroids = build_ivf_index(emb, n_centroids=16)
+    return ivf_topk(assignments, centroids, queries, k=10, nprobe=4)
+
+
+@q("multimodal_decode", None)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (binary payload -> metadata + features via
+    Arrow-batched mapInPandas; codec stubbed deterministically)."""
+    from .operators.multimodal import decode_media, documents_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(docs), fake=True).select(
+        "media_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
