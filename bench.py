@@ -46,12 +46,16 @@ def main() -> None:
 
     spark = get_spark(app_name="kg_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    # warm the JVM/Python-worker pools so timings measure the plans, not startup
+    # Warm the JVM (codegen, parquet reader) and the Python worker pool
+    # (imports dominate the first pandas-UDF stage): one throwaway pipeline
+    # run at the smallest scale. Timed runs below measure steady state.
     spark.range(1000).selectExpr("sum(id)").collect()
+    REGISTRY["kg_pipeline_full"][0](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
+        fn(spark, sf_dir).count()  # warm: cache file footers, spawn workers
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

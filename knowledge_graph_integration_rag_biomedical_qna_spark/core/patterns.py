@@ -87,16 +87,18 @@ def detect_mentions(sentence: str, alias_keys: "set[str] | frozenset[str]") -> l
     (non-overlapping). Deterministic for a fixed dictionary.
     """
     toks = tokenize(sentence)
+    # normalize each token once; an n-gram's alias key is the space-join of
+    # its normalized tokens (normalize_alias is per-token by construction)
+    norm = [normalize_alias(w) for w, _, _ in toks]
     mentions: list[Mention] = []
     i = 0
     n = len(toks)
     while i < n:
         hit = None
         for span in range(min(MAX_MENTION_TOKENS, n - i), 0, -1):
-            words = toks[i : i + span]
-            key = normalize_alias(" ".join(w for w, _, _ in words))
+            key = " ".join(norm[i : i + span])
             if key in alias_keys:
-                hit = (span, key, words)
+                hit = (span, key, toks[i : i + span])
                 break
         if hit is None:
             i += 1

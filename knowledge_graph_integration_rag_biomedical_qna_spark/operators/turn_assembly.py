@@ -25,14 +25,27 @@ from pyspark.sql import functions as F
 TURN_ORDER = ["ts", "role", "text", "tool"]
 
 
-def assemble_turns(transcripts: DataFrame) -> DataFrame:
+def assemble_turns(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dedup duplicate (conv_id, turn_idx) first-wins under the stable order,
-    drop empty/whitespace-only texts, and keep the contract columns."""
+    drop empty/whitespace-only texts, and keep the contract columns.
+
+    `num_partitions`: explicit hash-repartition by conv_id BEFORE the window.
+    HashPartitioning(conv_id) satisfies the window's ClusteredDistribution
+    (conv_id, turn_idx), so this is the plan's ONLY data-sized shuffle — and it
+    pins the parallelism of every downstream Arrow/pandas stage. Without it,
+    AQE coalesces small-byte text partitions to a handful of tasks and the
+    Python extraction stages lose their row-based parallelism (text bytes are
+    small; Python CPU per row is the actual cost).
+    """
+    df = transcripts
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(num_partitions, "conv_id")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         *[F.col(c).asc_nulls_last() for c in TURN_ORDER]
     )
     return (
-        transcripts.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")

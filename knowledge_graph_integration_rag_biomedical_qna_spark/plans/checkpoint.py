@@ -106,12 +106,24 @@ class ResumableKGRun:
             t0 = time.time()
             part = bucketed.filter(F.col(_BUCKET).isin(list(grp)))
             turns = assemble_turns(part)
-            mentions = detect_mentions_df(turns, keys_bc)
-            raw_triples = extract_triples_df(turns, keys_bc)
+            turns = turns.persist()
+            mentions = detect_mentions_df(turns, keys_bc).persist()
+            raw_triples = extract_triples_df(turns, keys_bc).persist()
             surf = mentions.select("alias_key", "surface").unionByName(
-                raw_triples.select(F.col("subj_key").alias("alias_key"), F.col("subj_surface").alias("surface"))
-            ).unionByName(
-                raw_triples.select(F.col("obj_key").alias("alias_key"), F.col("obj_surface").alias("surface"))
+                raw_triples.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("subj_key").alias("alias_key"),
+                                F.col("subj_surface").alias("surface"),
+                            ),
+                            F.struct(
+                                F.col("obj_key").alias("alias_key"),
+                                F.col("obj_surface").alias("surface"),
+                            ),
+                        )
+                    ).alias("s")
+                ).select("s.alias_key", "s.surface")
             )
             resolution = resolution_table(candidate_table(surf, aliases))
             edges = resolve_triples(raw_triples, resolution).withColumn(
@@ -170,6 +182,8 @@ class ResumableKGRun:
             with open(tmp, "w") as fh:
                 json.dump({"buckets": list(grp), "wall_sec": round(time.time() - t0, 3)}, fh)
             os.replace(tmp, marker)
+            for df in (turns, mentions, raw_triples):
+                df.unpersist()
             processed.append(grp)
 
         return {

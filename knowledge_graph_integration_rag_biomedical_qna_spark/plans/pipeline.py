@@ -51,22 +51,53 @@ def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
     return spark.sparkContext.broadcast(keys)
 
 
-def build_kg(spark: SparkSession, transcripts: DataFrame, aliases: DataFrame) -> KGResult:
+def build_kg(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    aliases: DataFrame,
+    persist: bool = True,
+) -> KGResult:
+    """Compose stages [1]-[6].
+
+    `persist=True` caches the turn table and the two extraction outputs
+    (MEMORY_AND_DISK): both are consumed by multiple downstream branches, and
+    without a cache Catalyst re-executes the pandas-UDF extraction once per
+    consuming subtree (no cross-branch CSE). For jobs too large to cache,
+    use plans.checkpoint.ResumableKGRun, which materializes stage boundaries
+    to storage instead (the reference's JSON stage files, done right).
+    """
     turns = assemble_turns(transcripts)
     keys_bc = broadcast_alias_keys(spark, aliases)
+    if persist:
+        turns = turns.persist()
     mentions = detect_mentions_df(turns, keys_bc)
     raw_triples = extract_triples_df(turns, keys_bc)
+    if persist:
+        mentions = mentions.persist()
+        raw_triples = raw_triples.persist()
 
-    # resolution is computed from the union of every surface the pipeline saw
-    # (mention surfaces cover triple endpoint surfaces by construction, but we
-    # union defensively — distinct() collapses it).
+    # every surface the pipeline saw, in ONE pass over each input (explode,
+    # not a 3-way union of re-scans); distinct() collapses duplicates.
     surf = mentions.select("alias_key", "surface").unionByName(
-        raw_triples.select(F.col("subj_key").alias("alias_key"), F.col("subj_surface").alias("surface"))
-    ).unionByName(
-        raw_triples.select(F.col("obj_key").alias("alias_key"), F.col("obj_surface").alias("surface"))
+        raw_triples.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj_key").alias("alias_key"),
+                        F.col("subj_surface").alias("surface"),
+                    ),
+                    F.struct(
+                        F.col("obj_key").alias("alias_key"),
+                        F.col("obj_surface").alias("surface"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.alias_key", "s.surface")
     )
     candidates = candidate_table(surf, aliases)
     resolution = resolution_table(candidates)
+    if persist:
+        resolution = resolution.persist()
 
     resolved_mentions = resolve_mentions(mentions, resolution)
     kg_edges = resolve_triples(raw_triples, resolution)
