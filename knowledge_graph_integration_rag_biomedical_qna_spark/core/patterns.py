@@ -141,6 +141,17 @@ def detect_predicates(sentence: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def extract_mentions_and_triples(
+    sentence: str, alias_keys: "set[str] | frozenset[str]"
+) -> "tuple[list[Mention], list[RawTriple]]":
+    """One-pass extraction: mentions plus the triples assembled from them.
+    The expensive tokenize+dictionary-match runs once; triple assembly reuses
+    the mention list. Semantically identical to detect_mentions +
+    extract_triples run separately (extract_triples delegates here)."""
+    mentions = detect_mentions(sentence, alias_keys)
+    return mentions, assemble_triples(sentence, mentions)
+
+
 def extract_triples(sentence: str, alias_keys: "set[str] | frozenset[str]") -> list[RawTriple]:
     """SVO assembly: for each predicate occurrence pick the nearest mention
     ending at-or-before its start (subject) and the nearest mention starting
@@ -149,7 +160,11 @@ def extract_triples(sentence: str, alias_keys: "set[str] | frozenset[str]") -> l
     confidence = 1.0 - 0.1 * (subj_gap + obj_gap), floored at 0.1; gap = token
     distance between mention and predicate phrase. Deterministic.
     """
-    mentions = detect_mentions(sentence, alias_keys)
+    return assemble_triples(sentence, detect_mentions(sentence, alias_keys))
+
+
+def assemble_triples(sentence: str, mentions: list[Mention]) -> list[RawTriple]:
+    """Triple assembly from a precomputed mention list (see extract_triples)."""
     if len(mentions) < 2:
         return []
     preds = detect_predicates(sentence)

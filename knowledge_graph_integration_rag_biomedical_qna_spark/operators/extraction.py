@@ -94,3 +94,81 @@ def extract_triples_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
     return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, RAW_TRIPLES_SCHEMA)
+
+
+UNIFIED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),  # 'm' mention | 't' triple
+        T.StructField("mention_idx", T.IntegerType(), True),
+        T.StructField("surface", T.StringType(), True),
+        T.StructField("alias_key", T.StringType(), True),
+        T.StructField("tok_start", T.IntegerType(), True),
+        T.StructField("tok_end", T.IntegerType(), True),
+        T.StructField("subj_surface", T.StringType(), True),
+        T.StructField("subj_key", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj_surface", T.StringType(), True),
+        T.StructField("obj_key", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+    ]
+)
+
+_UNIFIED_COLS = list(UNIFIED_SCHEMA.fieldNames())
+
+
+def extract_all_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
+    """Stages [2]+[3] in ONE Arrow pass: each turn's text is sentence-split,
+    tokenized, and dictionary-matched exactly once; mention rows (kind='m')
+    and triple rows (kind='t') share the output. Downstream callers split
+    with a filter — persist the result so both branches reuse the pass."""
+    from ..core.patterns import extract_mentions_and_triples
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = alias_keys_bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for si, sent in enumerate(split_sentences(text)):
+                    mentions, triples = extract_mentions_and_triples(sent, keys)
+                    for mi, m in enumerate(mentions):
+                        rows.append(
+                            (conv_id, turn_idx, si, "m", mi, m.surface, m.alias_key,
+                             m.tok_start, m.tok_end,
+                             None, None, None, None, None, None)
+                        )
+                    for t in triples:
+                        rows.append(
+                            (conv_id, turn_idx, si, "t", None, None, None, None, None,
+                             t.subj_surface, t.subj_key, t.pred,
+                             t.obj_surface, t.obj_key, t.confidence)
+                        )
+            yield pd.DataFrame(rows, columns=_UNIFIED_COLS)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, UNIFIED_SCHEMA)
+
+
+def mentions_view(unified: DataFrame) -> DataFrame:
+    """Project the mention rows of the unified extraction (MENTIONS_SCHEMA)."""
+    from pyspark.sql import functions as F
+
+    return unified.filter(F.col("kind") == "m").select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "surface", "alias_key",
+        F.col("tok_start").cast("int").alias("tok_start"),
+        F.col("tok_end").cast("int").alias("tok_end"),
+    )
+
+
+def triples_view(unified: DataFrame) -> DataFrame:
+    """Project the triple rows of the unified extraction (RAW_TRIPLES_SCHEMA)."""
+    from pyspark.sql import functions as F
+
+    return unified.filter(F.col("kind") == "t").select(
+        "conv_id", "turn_idx", "sent_idx",
+        "subj_surface", "subj_key", "pred", "obj_surface", "obj_key",
+        F.col("confidence").cast("double").alias("confidence"),
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.config import CANON_SALT_BUCKETS, CHECKPOINT_BUCKETS
-from ..operators.extraction import detect_mentions_df, extract_triples_df
+from ..operators.extraction import extract_all_df, mentions_view, triples_view
 from ..operators.linking import (
     candidate_table,
     resolution_table,
@@ -107,24 +107,10 @@ class ResumableKGRun:
             part = bucketed.filter(F.col(_BUCKET).isin(list(grp)))
             turns = assemble_turns(part)
             turns = turns.persist()
-            mentions = detect_mentions_df(turns, keys_bc).persist()
-            raw_triples = extract_triples_df(turns, keys_bc).persist()
-            surf = mentions.select("alias_key", "surface").unionByName(
-                raw_triples.select(
-                    F.explode(
-                        F.array(
-                            F.struct(
-                                F.col("subj_key").alias("alias_key"),
-                                F.col("subj_surface").alias("surface"),
-                            ),
-                            F.struct(
-                                F.col("obj_key").alias("alias_key"),
-                                F.col("obj_surface").alias("surface"),
-                            ),
-                        )
-                    ).alias("s")
-                ).select("s.alias_key", "s.surface")
-            )
+            unified = extract_all_df(turns, keys_bc).persist()
+            mentions = mentions_view(unified)
+            raw_triples = triples_view(unified)
+            surf = mentions.select("alias_key", "surface")
             resolution = resolution_table(candidate_table(surf, aliases))
             edges = resolve_triples(raw_triples, resolution).withColumn(
                 _BUCKET, bucket_of("conv_id", self.buckets)
@@ -182,7 +168,7 @@ class ResumableKGRun:
             with open(tmp, "w") as fh:
                 json.dump({"buckets": list(grp), "wall_sec": round(time.time() - t0, 3)}, fh)
             os.replace(tmp, marker)
-            for df in (turns, mentions, raw_triples):
+            for df in (turns, unified):
                 df.unpersist()
             processed.append(grp)
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.canonicalize import aggregate_edges, canonicalize_nodes
-from ..operators.extraction import detect_mentions_df, extract_triples_df
+from ..operators.extraction import extract_all_df, mentions_view, triples_view
 from ..operators.linking import (
     candidate_table,
     resolution_table,
@@ -34,6 +34,7 @@ from ..operators.turn_assembly import assemble_turns
 @dataclass
 class KGResult:
     turns: DataFrame
+    unified: DataFrame       # persisted single-pass extraction (mentions+triples)
     mentions: DataFrame
     raw_triples: DataFrame
     candidates: DataFrame
@@ -41,6 +42,13 @@ class KGResult:
     kg_edges: DataFrame      # evidence-level CUI-resolved triples (provenance kept)
     kg_edge_stats: DataFrame  # deduplicated graph edges with counters
     kg_nodes: DataFrame
+
+    def unpersist(self) -> None:
+        for df in (self.unified, self.resolution):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
@@ -68,32 +76,17 @@ def build_kg(
     """
     turns = assemble_turns(transcripts)
     keys_bc = broadcast_alias_keys(spark, aliases)
+    # one Arrow pass over the turn text produces BOTH mentions and triples;
+    # the persisted unified table is the stage boundary both branches reuse
+    unified = extract_all_df(turns, keys_bc)
     if persist:
-        turns = turns.persist()
-    mentions = detect_mentions_df(turns, keys_bc)
-    raw_triples = extract_triples_df(turns, keys_bc)
-    if persist:
-        mentions = mentions.persist()
-        raw_triples = raw_triples.persist()
+        unified = unified.persist()
+    mentions = mentions_view(unified)
+    raw_triples = triples_view(unified)
 
-    # every surface the pipeline saw, in ONE pass over each input (explode,
-    # not a 3-way union of re-scans); distinct() collapses duplicates.
-    surf = mentions.select("alias_key", "surface").unionByName(
-        raw_triples.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("subj_key").alias("alias_key"),
-                        F.col("subj_surface").alias("surface"),
-                    ),
-                    F.struct(
-                        F.col("obj_key").alias("alias_key"),
-                        F.col("obj_surface").alias("surface"),
-                    ),
-                )
-            ).alias("s")
-        ).select("s.alias_key", "s.surface")
-    )
+    # resolution needs every surface the pipeline saw; triple endpoints are
+    # detected mentions by construction, so mention surfaces cover them.
+    surf = mentions.select("alias_key", "surface")
     candidates = candidate_table(surf, aliases)
     resolution = resolution_table(candidates)
     if persist:
@@ -105,6 +98,7 @@ def build_kg(
     kg_edge_stats = aggregate_edges(kg_edges)
     return KGResult(
         turns=turns,
+        unified=unified,
         mentions=mentions,
         raw_triples=raw_triples,
         candidates=candidates,
