@@ -1,0 +1,90 @@
+"""Physical-plan shape tests: the properties that make the pipeline viable at
+100 TB are asserted on the plans themselves, not just the outputs.
+
+- linking joins must be broadcast (no shuffle of the mention-sized side)
+- canonicalization must be the salted two-phase aggregate
+- stage [1] must shuffle exactly once (repartition satisfies the window)
+- parquet scans must receive pushed filters / pruned columns
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.canonicalize import (
+    canonicalize_nodes,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.operators.turn_assembly import (
+    assemble_turns,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def kg(spark, fixture_dir):
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    return build_kg(spark, transcripts, aliases, persist=False)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_linking_joins_are_broadcast(kg):
+    plan = _plan(kg.kg_edges)
+    assert "BroadcastHashJoin" in plan
+    # the transcript-sized side must NOT go through a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonicalization_is_salted_two_phase(kg):
+    plan = _plan(kg.kg_nodes)
+    assert "_salt" in plan, "salted partial aggregate missing"
+    # two distinct aggregate keys: (cui, _salt) then (cui)
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_turn_assembly_single_shuffle(spark, fixture_dir):
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    plan = _plan(assemble_turns(transcripts))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scan_pushdown(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_hot_entity_skew_bounded(spark, fixture_dir, tables):
+    """Hot-alias fixture: top alias appears in a large share of mentions; the
+    salted partial agg must spread each hot CUI over multiple salt buckets."""
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    kg = build_kg(spark, transcripts, aliases, persist=False)
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.linking import (
+        resolve_mentions,
+    )
+
+    resolved = resolve_mentions(kg.mentions, kg.resolution)
+    salted_counts = (
+        resolved.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("conv_id", "turn_idx", "sent_idx", "mention_idx"), F.lit(16)),
+        )
+        .groupBy("cui", "_salt")
+        .count()
+        .groupBy("cui")
+        .agg(F.count(F.lit(1)).alias("n_buckets"), F.sum("count").alias("n_mentions"))
+        .orderBy(F.col("n_mentions").desc())
+        .first()
+    )
+    # the hottest CUI must be spread across many salt buckets (>= 8 of 16)
+    assert salted_counts["n_buckets"] >= 8, salted_counts
