@@ -207,19 +207,23 @@ def j6_eval_accuracy(spark, sf_dir):
 @q(
     "u3_anti_join_resume",
     """
-    SELECT DISTINCT user_id FROM events e
+    SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day
+    FROM events e
     WHERE NOT EXISTS (
       SELECT 1 FROM events p
       WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE)
     )
     """,
 )
 def u3_anti_join_resume(spark, sf_dir):
     """U3/P8 resume-by-skip as LEFT ANTI join (ref: cot_generation.py:71-73):
-    users with no 'purchase' event (the not-yet-processed set)."""
-    ev = _t(spark, sf_dir, "events")
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    return ev.select("user_id").distinct().join(purchasers, "user_id", "left_anti")
+    (user, day) pairs with no 'purchase' that day (the not-yet-processed set)."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    done = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "day").distinct()
+    )
+    return ev.select("user_id", "day").distinct().join(done, ["user_id", "day"], "left_anti")
 
 
 @q(
@@ -1033,7 +1037,7 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the engine's relational-aggregate headline query."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
@@ -1143,4 +1147,57 @@ def multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return decode_media(documents_as_media(docs), fake=True).select(
         "media_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+@q(
+    "prune_threshold_rank",
+    """
+    SELECT event_id, event_type, value, rank FROM (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+      FROM events WHERE value > 400.0
+    )
+    """,
+)
+def prune_threshold_rank(spark, sf_dir):
+    """Provence-style threshold+sort prune (ref: provence.py:85-98): keep
+    scores above a floor, ranked best-first per group."""
+    from .operators.pruning import threshold_sort_prune
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_id"), F.col("event_type"), F.col("value")
+    )
+    return threshold_sort_prune(
+        scored, threshold=400.0, query_col="event_type", score_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+@q("embed_link_score", None)
+def embed_link_score(spark, sf_dir):
+    """Embedding-path link scoring (M1-M3 analog): hashed n-gram embeddings of
+    extracted surfaces vs dictionary aliases, cosine top-1 per surface.
+    Not SQL-expressible (hashing-trick vectorizer); numpy-verified in pytest."""
+    from .operators.featurize import cosine_col, with_embedding
+
+    triples = _kg_triples_df(spark, sf_dir)
+    surfaces = (
+        triples.select(F.col("subj").alias("surface"))
+        .union(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    d = _kg_dict_df(spark)
+    s_emb = with_embedding(surfaces, text_col="surface", out_col="s_emb")
+    d_emb = with_embedding(d, text_col="alias", out_col="a_emb")
+    w = Window.partitionBy("surface").orderBy(
+        F.col("cos").desc(), F.col("cui").asc()
+    )
+    return (
+        s_emb.join(F.broadcast(d_emb), s_emb.surface == d_emb["alias"])
+        .withColumn("cos", F.round(cosine_col("s_emb", "a_emb"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("surface", "cui", "cos")
     )
