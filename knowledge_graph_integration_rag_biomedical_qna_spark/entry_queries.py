@@ -432,7 +432,7 @@ def f_scalar_functions(spark, sf_dir):
         F.regexp_extract(F.upper("text"), r"(OPTION\s*)?[\(\[]?([A-E])[\)\].: ]", 2).alias("choice"),
         F.regexp_extract("source", r"([0-9]+)$", 1).alias("src_num"),
         F.concat_ws(". ", "lang", "source").alias("title_cat"),
-        F.length("text").alias("n_len"),
+        F.length("text").cast("bigint").alias("n_len"),
     )
 
 
@@ -537,7 +537,7 @@ def _kg_dict_df(spark):
              row_number() OVER (PARTITION BY s.surface ORDER BY d.prior DESC, d.cui ASC) AS rn
       FROM surfaces s JOIN dict d ON s.surface = d.alias
     )
-    SELECT surface, cui, prior FROM ranked WHERE rn = 1
+    SELECT surface, cui, CAST(prior AS DOUBLE) AS prior FROM ranked WHERE rn = 1
     """,
 )
 def kg_entity_link_top1(spark, sf_dir):
@@ -621,7 +621,7 @@ def kg_turn_assembly_window(spark, sf_dir):
     window row_number with pinned tie-breaks."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select("user_id", "event_id", F.row_number().over(w).alias("turn_ord"))
+    return ev.select("user_id", "event_id", F.row_number().over(w).cast("bigint").alias("turn_ord"))
 
 
 # ---------------------------------------------------------------------------
@@ -644,8 +644,8 @@ def text_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        bpe_ish_token_count("text").alias("n_subtokens"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_subtokens"),
     )
 
 
@@ -908,9 +908,9 @@ def ann_threshold_pairs(spark, sf_dir):
     "sessionize_events",
     """
     SELECT event_id, user_id,
-           sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
     FROM (
       SELECT event_id, user_id, ts,
              date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
@@ -973,8 +973,8 @@ def rollup_aggregates(spark, sf_dir):
     "pivot_linestatus",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -998,7 +998,7 @@ def pivot_linestatus(spark, sf_dir):
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1156,7 +1156,7 @@ def multimodal_decode(spark, sf_dir):
     SELECT event_id, event_type, value, rank FROM (
       SELECT event_id, event_type, value,
              row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
-      FROM events WHERE value > 400.0
+      FROM events WHERE value > 300.0
     )
     """,
 )
@@ -1170,7 +1170,7 @@ def prune_threshold_rank(spark, sf_dir):
         F.col("event_id"), F.col("event_type"), F.col("value")
     )
     return threshold_sort_prune(
-        scored, threshold=400.0, query_col="event_type", score_col="value",
+        scored, threshold=300.0, query_col="event_type", score_col="value",
         tiebreak_col="event_id",
     )
 

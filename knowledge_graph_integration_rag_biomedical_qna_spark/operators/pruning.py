@@ -82,5 +82,5 @@ def threshold_sort_prune(
     )
     return (
         scored.filter(F.col(score_col) > threshold)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
