@@ -1201,3 +1201,28 @@ def embed_link_score(spark, sf_dir):
         .filter("rn = 1")
         .select("surface", "cui", "cos")
     )
+
+
+@q(
+    "f_math_functions",
+    """
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sigmoid_v,
+           round(-ln(greatest(value, 0.001) / 500.0), 6) AS neg_log_ratio,
+           chr(ascii('A') + CAST(event_id % 5 AS INTEGER)) AS choice_letter,
+           CASE WHEN regexp_matches(CAST(user_id AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END AS is_digit
+    FROM events
+    """,
+)
+def f_math_functions(spark, sf_dir):
+    """F10 sigmoid / negative-log-ratio (ref: cxmi_pruning.py:33-41, with
+    sum-of-logs stability instead of np.prod), F6 index->letter mapping
+    (metrics_medmcqa.py:6), F7 isdigit test (main.py:199)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(1.0 / (1.0 + F.exp(-F.col("value") / 100.0)), 6).alias("sigmoid_v"),
+        F.round(-F.log(F.greatest(F.col("value"), F.lit(0.001)) / 500.0), 6).alias("neg_log_ratio"),
+        F.expr("char(ascii('A') + CAST(event_id % 5 AS INT))").alias("choice_letter"),
+        F.when(F.col("user_id").cast("string").rlike("^[0-9]+$"), 1).otherwise(0).alias("is_digit"),
+    )
