@@ -62,11 +62,34 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
-    # headline: turns/sec through the full pipeline (kg_pipeline_full timing,
-    # normalized by the input turn count after assembly-eligible filtering)
+    # headline: turns/sec through the full pipeline at steady state — the
+    # sf-dir transcript table replicated 20x so per-turn compute dominates
+    # fixed stage latency (what a 100 TB run looks like per-partition)
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import synth_aliases
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_turns = synth_transcripts(docs).count()
-    kg_sec = timings["kg_pipeline_full"]
+    big = (
+        synth_transcripts(docs)
+        .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select(
+            F.concat_ws("_", "conv_id", "rep").alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    big.write.mode("overwrite").parquet("/tmp/bench_transcripts")
+    big_tr = spark.read.parquet("/tmp/bench_transcripts")
+    n_turns = big_tr.count()
+    aliases = synth_aliases(spark)
+    t0 = time.time()
+    kg = build_kg(spark, big_tr, aliases, persist=True)
+    kg.kg_edges.count()
+    kg.kg_nodes.count()
+    kg_sec = round(time.time() - t0, 3)
+    kg.unpersist()
+    timings["kg_pipeline_steady_x20"] = kg_sec
     turns_per_sec = round(n_turns / kg_sec, 1) if kg_sec > 0 else 0.0
 
     total = round(sum(timings.values()), 3)

@@ -58,6 +58,13 @@ _PRED_PHRASES = sorted(
 )
 MAX_PRED_TOKENS = max(len(p) for p, _ in _PRED_PHRASES)
 
+# First-word index: only phrases starting with the current token can match
+# there, so the per-position scan is a dict hit instead of a 26-phrase loop.
+# Buckets inherit the longest-first order, preserving greedy semantics.
+_PRED_BY_FIRST: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+for _phrase, _norm in _PRED_PHRASES:
+    _PRED_BY_FIRST.setdefault(_phrase[0], []).append((_phrase, _norm))
+
 
 @dataclass(frozen=True)
 class Mention:
@@ -79,17 +86,28 @@ class RawTriple:
     confidence: float
 
 
-def detect_mentions(sentence: str, alias_keys: "set[str] | frozenset[str]") -> list[Mention]:
+def _norm_token(w: str) -> str:
+    """Per-token normalize with a fast path: purely alphanumeric tokens (the
+    overwhelmingly common case) skip the regex edge-punct strip."""
+    return w.lower() if w.isalnum() else normalize_alias(w)
+
+
+def detect_mentions(
+    sentence: str,
+    alias_keys: "set[str] | frozenset[str]",
+    toks: "list[tuple[str, int, int]] | None" = None,
+) -> list[Mention]:
     """Greedy left-to-right longest-match dictionary mention detection.
 
     At each token position try n-gram lengths MAX_MENTION_TOKENS..1 against the
     normalized alias-key set; on a hit, emit the mention and jump past it
     (non-overlapping). Deterministic for a fixed dictionary.
     """
-    toks = tokenize(sentence)
+    if toks is None:
+        toks = tokenize(sentence)
     # normalize each token once; an n-gram's alias key is the space-join of
     # its normalized tokens (normalize_alias is per-token by construction)
-    norm = [normalize_alias(w) for w, _, _ in toks]
+    norm = [_norm_token(w) for w, _, _ in toks]
     mentions: list[Mention] = []
     i = 0
     n = len(toks)
@@ -119,15 +137,22 @@ def detect_mentions(sentence: str, alias_keys: "set[str] | frozenset[str]") -> l
     return mentions
 
 
-def detect_predicates(sentence: str) -> list[tuple[str, int, int]]:
+def detect_predicates(
+    sentence: str, lowered: "list[str] | None" = None
+) -> list[tuple[str, int, int]]:
     """Return (normalized_pred, tok_start, tok_end) occurrences, greedy
     longest-first, non-overlapping, left-to-right."""
-    toks = [t.lower() for t, _, _ in tokenize(sentence)]
+    toks = lowered if lowered is not None else [t.lower() for t, _, _ in tokenize(sentence)]
     out: list[tuple[str, int, int]] = []
     i, n = 0, len(toks)
+    by_first = _PRED_BY_FIRST
     while i < n:
+        cands = by_first.get(toks[i])
+        if cands is None:
+            i += 1
+            continue
         hit = None
-        for phrase, norm in _PRED_PHRASES:
+        for phrase, norm in cands:
             k = len(phrase)
             if i + k <= n and tuple(toks[i : i + k]) == phrase:
                 hit = (norm, k)
@@ -148,8 +173,12 @@ def extract_mentions_and_triples(
     The expensive tokenize+dictionary-match runs once; triple assembly reuses
     the mention list. Semantically identical to detect_mentions +
     extract_triples run separately (extract_triples delegates here)."""
-    mentions = detect_mentions(sentence, alias_keys)
-    return mentions, assemble_triples(sentence, mentions)
+    toks = tokenize(sentence)
+    mentions = detect_mentions(sentence, alias_keys, toks=toks)
+    if len(mentions) < 2:
+        return mentions, []
+    preds = detect_predicates(sentence, lowered=[w.lower() for w, _, _ in toks])
+    return mentions, assemble_triples(sentence, mentions, preds=preds)
 
 
 def extract_triples(sentence: str, alias_keys: "set[str] | frozenset[str]") -> list[RawTriple]:
@@ -163,11 +192,16 @@ def extract_triples(sentence: str, alias_keys: "set[str] | frozenset[str]") -> l
     return assemble_triples(sentence, detect_mentions(sentence, alias_keys))
 
 
-def assemble_triples(sentence: str, mentions: list[Mention]) -> list[RawTriple]:
+def assemble_triples(
+    sentence: str,
+    mentions: list[Mention],
+    preds: "list[tuple[str, int, int]] | None" = None,
+) -> list[RawTriple]:
     """Triple assembly from a precomputed mention list (see extract_triples)."""
     if len(mentions) < 2:
         return []
-    preds = detect_predicates(sentence)
+    if preds is None:
+        preds = detect_predicates(sentence)
     if not preds:
         return []
     triples: list[RawTriple] = []
