@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the shared core semantics.
+
+These pin the invariants the distributed pipeline depends on: determinism,
+non-overlap, offset validity, and oracle-vs-UDF agreement on arbitrary text.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.core.linking import (
+    rank_candidates,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import (
+    detect_mentions,
+    detect_predicates,
+    extract_mentions_and_triples,
+    extract_triples,
+)
+from knowledge_graph_integration_rag_biomedical_qna_spark.core.text import (
+    normalize_alias,
+    split_sentences,
+    tokenize,
+)
+
+KEYS = frozenset({"aspirin", "cox2", "beta blocker", "tnf alpha", "il-6"})
+
+text_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=200,
+)
+word_st = st.sampled_from(
+    ["aspirin", "cox2", "beta", "blocker", "inhibits", "treats", "the",
+     "patient", "is", "a", "treatment", "for", "il-6", "binds", "to", ".", ","]
+)
+sentence_st = st.lists(word_st, min_size=0, max_size=25).map(" ".join)
+
+
+@given(text_st)
+@settings(max_examples=300, deadline=None)
+def test_split_sentences_total_and_nonempty(t):
+    sents = split_sentences(t)
+    assert all(len(s) > 1 for s in sents)
+    assert all(s == s.strip() for s in sents)
+
+
+@given(text_st)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_offsets_consistent(t):
+    for tok, a, b in tokenize(t):
+        assert t[a:b] == tok
+        assert tok
+
+
+@given(sentence_st)
+@settings(max_examples=300, deadline=None)
+def test_mentions_nonoverlapping_and_deterministic(s):
+    m1 = detect_mentions(s, KEYS)
+    m2 = detect_mentions(s, KEYS)
+    assert m1 == m2
+    for a, b in zip(m1, m1[1:]):
+        assert a.tok_end <= b.tok_start  # non-overlapping, ordered
+    for m in m1:
+        assert m.alias_key in KEYS
+        assert normalize_alias(s[m.char_start:m.char_end]) == m.alias_key
+
+
+@given(sentence_st)
+@settings(max_examples=300, deadline=None)
+def test_predicates_nonoverlapping(s):
+    preds = detect_predicates(s)
+    for (_, _, e1), (_, s2, _) in zip(preds, preds[1:]):
+        assert e1 <= s2
+
+
+@given(sentence_st)
+@settings(max_examples=300, deadline=None)
+def test_unified_equals_separate_paths(s):
+    """extract_mentions_and_triples (pipeline path) must equal
+    detect_mentions + extract_triples (oracle path) on any input."""
+    m_u, t_u = extract_mentions_and_triples(s, KEYS)
+    assert m_u == detect_mentions(s, KEYS)
+    assert t_u == extract_triples(s, KEYS)
+
+
+@given(sentence_st)
+@settings(max_examples=300, deadline=None)
+def test_triples_reference_detected_mentions(s):
+    mentions = {m.alias_key for m in detect_mentions(s, KEYS)}
+    for t in extract_triples(s, KEYS):
+        assert t.subj_key in mentions and t.obj_key in mentions
+        assert 0.1 <= t.confidence <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["C1", "C2", "C3", "C4"]),
+            st.sampled_from(["aspirin", "asa", "acetylsalicylic acid"]),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ranking_deterministic_and_sorted(cands):
+    r1 = rank_candidates("aspirin", cands)
+    r2 = rank_candidates("aspirin", list(reversed(cands)))
+    # candidate-list order must NOT affect the (cui, score) ranking: ties on
+    # (score, prior) break on cui, and equal-cui ties yield identical tuples
+    assert r1 == r2
+    scores = [s for _, s in r1]
+    assert scores == sorted(scores, reverse=True)
+    assert len(r1) <= 10

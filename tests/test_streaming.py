@@ -55,3 +55,47 @@ def test_stream_matches_batch(spark, fixture_dir, tables, tmp_path):
     pd.testing.assert_frame_equal(
         got[TRIPLE_KEY].reset_index(drop=True), want[TRIPLE_KEY].reset_index(drop=True)
     )
+
+
+def test_stateful_conversation_progress(spark, tables, tmp_path):
+    """applyInPandasWithState: per-conversation turn counters accumulate
+    across micro-batches and match the batch ground truth."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.streaming.stateful import (
+        conversation_progress,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    t = tables["transcripts"]
+    half = len(t) // 2
+    t.iloc[:half].to_parquet(src / "p0.parquet", index=False)
+    t.iloc[half:].to_parquet(src / "p1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = spark.sql(
+        """SELECT conv_id, max(n_turns) AS n_turns, max(max_turn_idx) AS max_turn_idx
+           FROM conv_progress GROUP BY conv_id"""
+    ).toPandas().set_index("conv_id")
+    want = t.groupby("conv_id").agg(n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max"))
+    assert len(got) == len(want)
+    for conv_id, row in want.iterrows():
+        assert got.loc[conv_id, "n_turns"] == row["n_turns"], conv_id
+        assert got.loc[conv_id, "max_turn_idx"] == row["max_turn_idx"], conv_id
