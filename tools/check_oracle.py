@@ -52,9 +52,17 @@ def main():
     only = set(sys.argv[2:])
 
     from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import REGISTRY
-    from knowledge_graph_integration_rag_biomedical_qna_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("PLAIN_SESSION"):
+        # driver-sim mode: default-config session (no UTC pin, no AQE tuning,
+        # 200 shuffle partitions) — queries must be config-independent
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("plain").getOrCreate()
+    else:
+        from knowledge_graph_integration_rag_biomedical_qna_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
