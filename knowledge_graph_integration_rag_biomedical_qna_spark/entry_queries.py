@@ -1226,3 +1226,127 @@ def f_math_functions(spark, sf_dir):
         F.expr("char(ascii('A') + CAST(event_id % 5 AS INT))").alias("choice_letter"),
         F.when(F.col("user_id").cast("string").rlike("^[0-9]+$"), 1).otherwise(0).alias("is_digit"),
     )
+
+
+@q(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    current AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT * FROM current c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = c.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO emulation (CDC upsert): anti-join + union (no lakehouse
+    MERGE in this image; TableIO swaps in Iceberg MERGE when present)."""
+    from .operators.upsert import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return merge_upsert(current, updates, ["o_orderkey"]).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "window_functions_pack",
+    """
+    SELECT event_id,
+           lag(event_id) OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_functions_pack(spark, sf_dir):
+    """Window-function breadth: lag/lead/rank/dense_rank/ntile with pinned
+    deterministic orderings."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    wd = Window.partitionBy("event_type").orderBy("user_id")
+    return ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.rank().over(wr).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wd).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@q(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup) via the SQL API — Catalyst
+    produces the same expand+aggregate plan as the DataFrame cube family."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@q(
+    "q5_join_breadth",
+    """
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_c4,
+           count(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+    GROUP BY n.n_name
+    """,
+)
+def q5_join_breadth(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with a correlated dimension condition;
+    revenue in exact integer cents^2 so both engines agree bit-for-bit."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rname = r.agg(F.min("r_name")).first()[0]
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == rname)), n.n_regionkey == F.col("r_regionkey"))
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_items"))
+    )
