@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q5_join_breadth",
     "q3_order_revenue",
     "t1_topk_per_group",
     "p4_percentile_filter",
