@@ -1350,3 +1350,17 @@ def q5_join_breadth(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@q("kg_edge_stats_full", None)
+def kg_edge_stats_full(spark, sf_dir):
+    """Deduplicated graph view: (subj_cui, pred, obj_cui) with evidence
+    counters over the flagship pipeline's edges (A7/A4 shapes at graph level)."""
+    from .plans.pipeline import build_kg
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    kg = build_kg(spark, synth_transcripts(docs), synth_aliases(spark))
+    return kg.kg_edge_stats.select(
+        "subj_cui", "pred", "obj_cui", "n_evidence", "avg_confidence", "n_convs"
+    )

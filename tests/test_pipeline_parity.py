@@ -123,3 +123,24 @@ def test_provenance_invariant(kg, tables):
     edges = kg.kg_edges.select("conv_id", "turn_idx").distinct().toPandas()
     merged = edges.merge(src, on=["conv_id", "turn_idx"], how="left", indicator=True)
     assert (merged["_merge"] == "both").all()
+
+
+def test_empty_inputs_produce_empty_outputs(spark):
+    """Degenerate inputs must not error: empty transcripts and/or empty
+    dictionary yield empty (but well-typed) outputs."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import (
+        ALIASES_SCHEMA,
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    empty_t = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    empty_a = spark.createDataFrame([], ALIASES_SCHEMA)
+    some_t = spark.createDataFrame(
+        [("c1", 1, "user", "aspirin inhibits cox2.", "", __import__("datetime").datetime(2026, 1, 1))],
+        TRANSCRIPTS_SCHEMA,
+    )
+    kg1 = build_kg(spark, empty_t, empty_a, persist=False)
+    assert kg1.kg_edges.count() == 0 and kg1.kg_nodes.count() == 0
+    kg2 = build_kg(spark, some_t, empty_a, persist=False)
+    assert kg2.kg_edges.count() == 0 and kg2.mentions.count() == 0
