@@ -92,9 +92,37 @@ def _norm_token(w: str) -> str:
     return w.lower() if w.isalnum() else normalize_alias(w)
 
 
+class AliasIndex:
+    """First-token-indexed dictionary for the longest-match matcher.
+
+    `singles` answers 1-token lookups; `multi_first` maps a first token to its
+    multi-token keys longest-first, so a position whose token starts no alias
+    costs two set probes instead of three string joins. Build once per
+    dictionary and ship via SparkContext broadcast (executors share one copy).
+    Matching semantics are identical to probing the flat key set.
+    """
+
+    __slots__ = ("singles", "multi_first")
+
+    def __init__(self, alias_keys):
+        self.singles: frozenset[str] = frozenset(k for k in alias_keys if " " not in k)
+        multi: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        for k in alias_keys:
+            parts = tuple(k.split(" "))
+            if 1 < len(parts) <= MAX_MENTION_TOKENS:
+                multi.setdefault(parts[0], []).append((parts, k))
+        for v in multi.values():
+            v.sort(key=lambda pk: -len(pk[0]))
+        self.multi_first = multi
+
+
+def _as_index(alias_keys) -> AliasIndex:
+    return alias_keys if isinstance(alias_keys, AliasIndex) else AliasIndex(alias_keys)
+
+
 def detect_mentions(
     sentence: str,
-    alias_keys: "set[str] | frozenset[str]",
+    alias_keys: "set[str] | frozenset[str] | AliasIndex",
     toks: "list[tuple[str, int, int]] | None" = None,
 ) -> list[Mention]:
     """Greedy left-to-right longest-match dictionary mention detection.
@@ -103,21 +131,28 @@ def detect_mentions(
     normalized alias-key set; on a hit, emit the mention and jump past it
     (non-overlapping). Deterministic for a fixed dictionary.
     """
+    idx = _as_index(alias_keys)
     if toks is None:
         toks = tokenize(sentence)
     # normalize each token once; an n-gram's alias key is the space-join of
     # its normalized tokens (normalize_alias is per-token by construction)
     norm = [_norm_token(w) for w, _, _ in toks]
+    singles, multi_first = idx.singles, idx.multi_first
     mentions: list[Mention] = []
     i = 0
     n = len(toks)
     while i < n:
+        w = norm[i]
         hit = None
-        for span in range(min(MAX_MENTION_TOKENS, n - i), 0, -1):
-            key = " ".join(norm[i : i + span])
-            if key in alias_keys:
-                hit = (span, key, toks[i : i + span])
-                break
+        cands = multi_first.get(w)
+        if cands is not None:
+            for parts, full_key in cands:
+                k = len(parts)
+                if i + k <= n and norm[i + 1 : i + k] == list(parts[1:]):
+                    hit = (k, full_key, toks[i : i + k])
+                    break
+        if hit is None and w in singles:
+            hit = (1, w, toks[i : i + 1])
         if hit is None:
             i += 1
             continue

@@ -52,11 +52,14 @@ class KGResult:
 
 
 def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
-    """Ship the alias-key set to executors once (dictionary for the matcher).
+    """Ship the alias dictionary to executors once as a first-token-indexed
+    AliasIndex (matcher probes two sets per token instead of joining n-grams).
     At UMLS scale (~16M alias keys) this is a few hundred MB — still broadcast
     territory; beyond that, swap for a bloom-filter pre-pass + join."""
+    from ..core.patterns import AliasIndex
+
     keys = frozenset(r[0] for r in aliases.select("alias_key").distinct().collect())
-    return spark.sparkContext.broadcast(keys)
+    return spark.sparkContext.broadcast(AliasIndex(keys))
 
 
 def build_kg(
