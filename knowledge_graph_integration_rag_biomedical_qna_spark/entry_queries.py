@@ -1364,3 +1364,29 @@ def kg_edge_stats_full(spark, sf_dir):
     return kg.kg_edge_stats.select(
         "subj_cui", "pred", "obj_cui", "n_evidence", "avg_confidence", "n_convs"
     )
+
+
+@q("kg_question_retrieval", None)
+def kg_question_retrieval(spark, sf_dir):
+    """Query-side retrieval: questions -> entity links -> 1-hop evidence
+    edges, per-question top-k (the reference's retrieve->rerank use case over
+    the constructed graph). Rows-only: depends on the pandas-UDF pipeline."""
+    from .plans.pipeline import broadcast_alias_keys, build_kg
+    from .plans.query import link_questions, retrieve_evidence
+    from .sources.synth import PLANT_PREDS, PLANT_SUBJECTS, synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    aliases = synth_aliases(spark)
+    kg = build_kg(spark, synth_transcripts(docs), aliases)
+    # deterministic question set over the planted vocabulary
+    questions = spark.createDataFrame(
+        [
+            (i, f"what does {PLANT_SUBJECTS[i % len(PLANT_SUBJECTS)]} "
+                f"{PLANT_PREDS[i % len(PLANT_PREDS)]}?")
+            for i in range(16)
+        ],
+        "question_id int, text string",
+    )
+    keys_bc = broadcast_alias_keys(spark, aliases)
+    links = link_questions(spark, questions, aliases, keys_bc)
+    return retrieve_evidence(links, kg.kg_edge_stats, k=5)

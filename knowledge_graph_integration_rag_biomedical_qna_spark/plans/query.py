@@ -1,0 +1,85 @@
+"""Query-side retrieval over the constructed KG.
+
+The reference's runtime use is: question -> retrieve evidence -> rerank ->
+top-k (rag2-retriever/main.py). Against the constructed graph that becomes:
+
+  questions(question_id, text)
+    -> mention detection over question text (same extractor as ingestion)
+    -> entity linking (same resolution semantics)
+    -> join kg_edge_stats on either endpoint CUI (1-hop neighborhood)
+    -> score = evidence-weighted link score, per-question top-k window
+
+Batch-oriented: a million questions retrieve in one job; a single question is
+the degenerate one-row case. Edge stats are the small side ONLY when the
+graph is small — the join is keyed on CUI, so at 10^12-turn scale it is a
+shuffle join on (cui) with AQE skew handling; questions-side broadcast is
+chosen automatically when the question batch is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.extraction import detect_mentions_df, mentions_view
+from ..operators.linking import candidate_table, resolution_table
+
+
+def link_questions(
+    spark: SparkSession, questions: DataFrame, aliases: DataFrame, keys_bc
+) -> DataFrame:
+    """questions(question_id, text) -> (question_id, cui, link_score)."""
+    turns_like = questions.select(
+        F.col("question_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    mentions = detect_mentions_df(turns_like, keys_bc)
+    resolution = resolution_table(candidate_table(mentions.select("alias_key", "surface"), aliases))
+    return (
+        mentions.join(F.broadcast(resolution), ["alias_key", "surface"])
+        .select(
+            F.col("conv_id").alias("question_id"),
+            "cui",
+            F.col("score").alias("link_score"),
+        )
+        .distinct()
+    )
+
+
+def retrieve_evidence(
+    question_links: DataFrame,
+    kg_edge_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """1-hop evidence edges per question, ranked by evidence-weighted score.
+
+    rank_score = link_score * avg_confidence * ln(1 + n_evidence); ties pinned
+    on (subj_cui, pred, obj_cui). Top-k via per-question window (T1 shape).
+    """
+    subj_hits = kg_edge_stats.join(
+        question_links.withColumnRenamed("cui", "subj_cui"), "subj_cui"
+    )
+    obj_hits = kg_edge_stats.join(
+        question_links.withColumnRenamed("cui", "obj_cui"), "obj_cui"
+    )
+    hits = subj_hits.unionByName(obj_hits).groupBy(
+        "question_id", "subj_cui", "pred", "obj_cui", "n_evidence", "avg_confidence"
+    ).agg(F.max("link_score").alias("link_score"))
+    scored = hits.withColumn(
+        "rank_score",
+        F.round(
+            F.col("link_score") * F.col("avg_confidence") * F.log1p(F.col("n_evidence")), 6
+        ),
+    )
+    w = Window.partitionBy("question_id").orderBy(
+        F.col("rank_score").desc(), F.col("subj_cui"), F.col("pred"), F.col("obj_cui")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "question_id", "subj_cui", "pred", "obj_cui",
+            "n_evidence", "rank_score", "rank",
+        )
+    )

@@ -144,3 +144,35 @@ def test_empty_inputs_produce_empty_outputs(spark):
     assert kg1.kg_edges.count() == 0 and kg1.kg_nodes.count() == 0
     kg2 = build_kg(spark, some_t, empty_a, persist=False)
     assert kg2.kg_edges.count() == 0 and kg2.mentions.count() == 0
+
+
+def test_question_retrieval(spark, fixture_dir):
+    """Query side: a question mentioning a known alias retrieves only edges
+    touching that alias's CUI, ranked deterministically."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import (
+        broadcast_alias_keys,
+        build_kg,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.query import (
+        link_questions,
+        retrieve_evidence,
+    )
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    kg = build_kg(spark, transcripts, aliases, persist=False)
+    # pick a surface guaranteed to exist: the first alias in the table
+    alias_row = aliases.orderBy("alias_key").first()
+    q = spark.createDataFrame(
+        [(1, f"tell me about {alias_row['alias']} please")], "question_id int, text string"
+    )
+    keys_bc = broadcast_alias_keys(spark, aliases)
+    links = link_questions(spark, q, aliases, keys_bc).toPandas()
+    assert len(links) >= 1
+    linked_cuis = set(links["cui"])
+    ev = retrieve_evidence(
+        link_questions(spark, q, aliases, keys_bc), kg.kg_edge_stats, k=10
+    ).toPandas()
+    for _, row in ev.iterrows():
+        assert row["subj_cui"] in linked_cuis or row["obj_cui"] in linked_cuis
+    assert ev["rank"].is_monotonic_increasing or len(ev) <= 1
