@@ -1390,3 +1390,75 @@ def kg_question_retrieval(spark, sf_dir):
     keys_bc = broadcast_alias_keys(spark, aliases)
     links = link_questions(spark, questions, aliases, keys_bc)
     return retrieve_evidence(links, kg.kg_edge_stats, k=5)
+
+
+@q(
+    "q2_min_subquery",
+    """
+    SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+    ) AND p.p_size >= 40
+    """,
+)
+def q2_min_subquery(spark, sf_dir):
+    """TPC-H Q2 shape: correlated min-subquery -> window-min rewrite
+    (Catalyst's decorrelation expressed directly as a window)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    li_min = li.withColumn("_min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("_min_price")
+    )
+    return li_min.join(F.broadcast(p), li_min.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "l_suppkey", "l_extendedprice"
+    )
+
+
+@q(
+    "q13_order_histogram",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + double aggregation histogram."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@q(
+    "conversation_assembly_concat",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_chain,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def conversation_assembly_concat(spark, sf_dir):
+    """Turn-assembly concat shape (ref: CoT prompt building, F3 / per-
+    conversation text): ordered per-group string aggregation with pinned
+    tie-breaks — sort_array(collect_list(struct)) keeps it one hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("event_chain"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
