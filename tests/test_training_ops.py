@@ -169,3 +169,15 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     with pytest.raises(Exception) as ei:
         decode_media(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_embedding_near_dups_sign_lsh_blocking(spark, emb):
+    """block_col=None path: sign-LSH bucket blocking still finds the planted
+    exact duplicate (same vector -> same bucket by construction)."""
+    v0 = emb.filter("vec_id = 0").select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dups(
+        emb.unionByName(v0), threshold=0.999, block_col=None
+    ).toPandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any()
