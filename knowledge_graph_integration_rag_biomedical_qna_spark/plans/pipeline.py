@@ -51,6 +51,17 @@ class KGResult:
                 pass
 
 
+class _ClosureBroadcast:
+    """Broadcast stand-in for SparkContext-less environments (Spark Connect):
+    the value rides each task closure instead of the broadcast bus. Same
+    `.value` interface."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
 def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
     """Ship the alias dictionary to executors once as a first-token-indexed
     AliasIndex (matcher probes two sets per token instead of joining n-grams).
@@ -59,7 +70,11 @@ def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
     from ..core.patterns import AliasIndex
 
     keys = frozenset(r[0] for r in aliases.select("alias_key").distinct().collect())
-    return spark.sparkContext.broadcast(AliasIndex(keys))
+    idx = AliasIndex(keys)
+    try:
+        return spark.sparkContext.broadcast(idx)
+    except Exception:  # Spark Connect: no SparkContext on the client
+        return _ClosureBroadcast(idx)
 
 
 def build_kg(

@@ -26,6 +26,15 @@ JSONL_SCHEMA = T.StructType(
 )
 
 
+def read_json_array(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S1: whole-file JSON array scan (the reference's json.load of a list),
+    via multiLine mode — each file is one JSON document containing an array."""
+    r = spark.read.option("multiLine", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def read_transcripts_jsonl(
     spark: SparkSession, path: str, quarantine_path: str | None = None
 ) -> tuple[DataFrame, DataFrame]:

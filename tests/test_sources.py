@@ -39,3 +39,15 @@ def test_table_io_replace_roundtrip(spark, tmp_path):
     assert io.read("t1").count() == 3
     io.append(spark.range(2).withColumnRenamed("id", "x"), "t1")
     assert io.read("t1").count() == 5
+
+
+def test_json_array_scan(spark, tmp_path):
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.jsonl import (
+        read_json_array,
+    )
+
+    p = tmp_path / "arr.json"
+    p.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    df = read_json_array(spark, str(p))
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y")]
