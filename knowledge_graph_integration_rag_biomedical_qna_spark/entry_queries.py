@@ -785,7 +785,7 @@ _SHINGLE_CTE = r"""
     "dedup_minhash_signatures",
     f"""
     WITH {_SHINGLE_CTE}
-    SELECT id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))}
+    SELECT id, {", ".join(f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(8))}
     FROM sh GROUP BY id
     """,
 )
@@ -801,7 +801,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     f"""
     WITH {_SHINGLE_CTE},
     sig AS (
-      SELECT id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))}
+      SELECT id, {", ".join(f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(16))}
       FROM sh GROUP BY id
     ),
     banded AS (

@@ -46,17 +46,21 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, h0..h{m-1}) — hash i = min over shingles of md5('<i>:'||shingle).
+def minhash_hash_expr(i: int):
+    """Hash i of the md5-derived family: 8 hex chars (32 bits) carved from
+    md5('<i//4>:' || shingle) at offset 8*(i%4). Four hashes share one md5
+    (whole-stage codegen CSEs the md5 across the four substrings), so a
+    16-hash signature costs 4 md5 evaluations per shingle, not 16. Hex
+    substrings compare lexicographically == numerically, which is all minhash
+    needs. Engine-portable: the DuckDB oracle computes the identical value."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))), 1 + 8 * (i % 4), 8
+    )
 
-    md5-as-hash-family keeps the signature engine-portable (DuckDB oracle
-    computes the identical value); at production scale swap for xxhash64 with
-    per-i seeds (same shape, one line).
-    """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, h0..h{m-1}) — hash i = min over shingles of minhash_hash_expr(i)."""
+    aggs = [F.min(minhash_hash_expr(i)).alias(f"h{i}") for i in range(num_hashes)]
     return shingles.groupBy("id").agg(*aggs)
 
 
