@@ -1462,3 +1462,45 @@ def conversation_assembly_concat(spark, sf_dir):
         ).alias("event_chain"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@q(
+    "q4_semi_join_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_semi_join_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left_semi join + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "distinct_aggregation",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_aggregation(spark, sf_dir):
+    """Exact distinct aggregation (expand + two-phase agg under the hood);
+    the approximate variant (approx_count_distinct/HLL) runs in kg_edge_stats."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
