@@ -176,3 +176,59 @@ def test_question_retrieval(spark, fixture_dir):
     for _, row in ev.iterrows():
         assert row["subj_cui"] in linked_cuis or row["obj_cui"] in linked_cuis
     assert ev["rank"].is_monotonic_increasing or len(ev) <= 1
+
+
+def test_duplicate_turn_dedup_matches_oracle(spark):
+    """Duplicate (conv_id, turn_idx) rows (at-least-once ingest) dedupe
+    first-wins under the stable (ts, role, text, tool) order — identical in
+    the Spark window and the oracle's stable sort, including ts ties."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.turn_assembly import (
+        assemble_turns,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.pipeline import (
+        oracle_turns,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 1, 1, 0, 1)
+    rows = [
+        # same turn re-sent later with different text -> earlier ts wins
+        ("c1", 0, "user", "first version.", "", t0),
+        ("c1", 0, "user", "second version.", "", t1),
+        # ts tie -> role breaks it (assistant < tool < user lexicographically)
+        ("c1", 1, "tool", "tool text.", "search", t0),
+        ("c1", 1, "assistant", "assistant text.", "", t0),
+        # ts+role tie -> text breaks it
+        ("c2", 0, "user", "bbb.", "", t0),
+        ("c2", 0, "user", "aaa.", "", t0),
+        # empty duplicate row and a whitespace-only turn
+        ("c2", 1, "user", "", "", t0),
+        ("c2", 2, "user", "   ", "", t0),
+        ("c2", 3, "user", "kept.", "", t0),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    got = (
+        assemble_turns(df)
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    want = (
+        oracle_turns(pdf)[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert got["text"].tolist() == ["first version.", "assistant text.", "aaa.", "kept."]
