@@ -15,7 +15,7 @@ near-dup. Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # --- exact -----------------------------------------------------------------

@@ -18,7 +18,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.canonicalize import aggregate_edges, canonicalize_nodes
 from ..operators.extraction import extract_all_df, mentions_view, triples_view

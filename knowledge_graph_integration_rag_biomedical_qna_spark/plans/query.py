@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.extraction import detect_mentions_df, mentions_view
+from ..operators.extraction import detect_mentions_df
 from ..operators.linking import candidate_table, resolution_table
 
 
