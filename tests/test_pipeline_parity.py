@@ -232,3 +232,23 @@ def test_duplicate_turn_dedup_matches_oracle(spark):
     want["turn_idx"] = want["turn_idx"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert got["text"].tolist() == ["first version.", "assistant text.", "aaa.", "kept."]
+
+
+def test_candidate_ranking_parity_with_oracle(kg, gold, tables):
+    """Stage [4]-[5] in isolation: the Spark candidate table's ranked (cui,
+    score, rank) per surface must equal the oracle's rank_candidates on the
+    same mentions."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.pipeline import (
+        oracle_links,
+    )
+
+    want = oracle_links(gold["mentions"].head(300), tables["concept_aliases"])
+    got = kg.candidates.toPandas()
+    got_map = {
+        (r["surface"], r["rank"]): (r["cui"], round(r["score"], 6))
+        for _, r in got.iterrows()
+    }
+    for _, r in want.iterrows():
+        key = (r["surface"], r["rank"])
+        assert key in got_map, key
+        assert got_map[key] == (r["cui"], round(r["score"], 6)), key
