@@ -118,3 +118,32 @@ def read_aliases(spark: SparkSession, path: str) -> DataFrame:
     if path.endswith(".parquet") or os.path.isdir(path):
         return spark.read.schema(ALIASES_SCHEMA).parquet(path)
     return spark.read.table(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 32,
+    sort_col: str | None = "turn_idx",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join/window key.
+
+    Repeat consumers that join or window on `bucket_col` then read it with
+    `spark.table(...)` and Catalyst reuses the bucketing: NO exchange on that
+    side of the join. This is the storage-layout answer to "the transcripts
+    table is joined by conv_id by every downstream job" — at 100 TB, one
+    bucketed write amortizes the shuffle across every job that follows.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a crashed previous run can leave the managed location behind
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table_name
+    )
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

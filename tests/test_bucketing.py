@@ -1,0 +1,29 @@
+"""Bucketed-table co-location: with broadcast disabled, a self-join and a
+groupBy on the bucket key must plan with ZERO shuffle exchanges — the
+storage-layout shuffle amortization the 100 TB design leans on (write the
+transcripts table bucketed by conv_id once; every downstream join/agg on
+conv_id skips its exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import write_bucketed
+
+
+def test_bucketed_join_has_no_shuffle(spark, fixture_dir):
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    write_bucketed(transcripts, "transcripts_bucketed", "conv_id", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("transcripts_bucketed")
+        per_conv = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+        joined = t.join(per_conv, "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == transcripts.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS transcripts_bucketed")
