@@ -25,9 +25,17 @@ from pyspark.sql import functions as F
 TURN_ORDER = ["ts", "role", "text", "tool"]
 
 
-def assemble_turns(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assemble_turns(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    assume_clustered: bool = False,
+) -> DataFrame:
     """Dedup duplicate (conv_id, turn_idx) first-wins under the stable order,
     drop empty/whitespace-only texts, and keep the contract columns.
+
+    `assume_clustered=True` skips the repartition for inputs already bucketed
+    by conv_id (sources.io.write_bucketed) — the whole stage then runs with
+    zero exchanges.
 
     `num_partitions`: explicit hash-repartition by conv_id BEFORE the window.
     HashPartitioning(conv_id) satisfies the window's ClusteredDistribution
@@ -38,9 +46,14 @@ def assemble_turns(transcripts: DataFrame, num_partitions: int | None = None) ->
     small; Python CPU per row is the actual cost).
     """
     df = transcripts
-    if num_partitions is None:
-        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(num_partitions, "conv_id")
+    if assume_clustered:
+        # input already bucketed/partitioned by conv_id (write_bucketed):
+        # skip the repartition; the window still satisfies its distribution
+        pass
+    else:
+        if num_partitions is None:
+            num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(num_partitions, "conv_id")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         *[F.col(c).asc_nulls_last() for c in TURN_ORDER]
     )

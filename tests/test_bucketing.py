@@ -27,3 +27,23 @@ def test_bucketed_join_has_no_shuffle(spark, fixture_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS transcripts_bucketed")
+
+
+def test_turn_assembly_zero_shuffle_on_bucketed_input(spark, fixture_dir):
+    """Stage [1] on a bucketed transcripts table with assume_clustered=True:
+    the whole dedup window runs with zero exchanges."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.turn_assembly import (
+        assemble_turns,
+    )
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    write_bucketed(transcripts, "transcripts_bucketed2", "conv_id", 8)
+    try:
+        t = spark.table("transcripts_bucketed2")
+        turns = assemble_turns(t, assume_clustered=True)
+        plan = turns._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same rows as the shuffling path
+        assert turns.count() == assemble_turns(transcripts).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transcripts_bucketed2")
