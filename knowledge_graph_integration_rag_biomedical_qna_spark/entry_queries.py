@@ -1504,3 +1504,79 @@ def distinct_aggregation(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@q(
+    "kg_turn_assembly_synth",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks
+    ),
+    turns AS (
+      SELECT doc_id, t, CAST(unnest(range(0, n)) AS INT) AS turn_idx FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, turn_idx,
+             array_to_string(t[turn_idx * 12 + 1 : turn_idx * 12 + 12], ' ') AS chunk
+      FROM turns
+    ),
+    planted AS (
+      SELECT doc_id, turn_idx, chunk,
+             (['spark','customer','table','window','vector','column','batch','stream'])
+               [CAST((doc_id * 7 + turn_idx) % 8 AS INT) + 1] AS subj,
+             (['inhibits','treats','causes','activates','prevents'])
+               [CAST((doc_id + turn_idx) % 5 AS INT) + 1] AS pred,
+             (['spark','customer','table','window','vector','column','batch','stream'])
+               [CAST((doc_id * 13 + turn_idx) % 8 AS INT) + 1] AS obj
+      FROM chunks
+    )
+    SELECT 'conv_' || doc_id AS conv_id, turn_idx,
+           CASE CAST(turn_idx % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           CASE WHEN (doc_id + turn_idx) % 3 = 0
+                THEN chunk || '. ' || subj || ' ' || pred || ' ' || obj || '.'
+                ELSE chunk || '.' END AS text,
+           CASE WHEN turn_idx % 3 = 2 THEN 'search' ELSE '' END AS tool
+    FROM planted
+    """,
+)
+def kg_turn_assembly_synth(spark, sf_dir):
+    """Stage [1] output SQL-checked end-to-end: deterministic transcript
+    synthesis + turn assembly; the driver's value-hash compare IS the
+    per-turn-text-equality invariant (BASELINE.json) on this derived table."""
+    from .operators.turn_assembly import assemble_turns
+    from .sources.synth import synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    turns = assemble_turns(synth_transcripts(docs))
+    return turns.select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+@q("kg_two_hop_paths", None)
+def kg_two_hop_paths(spark, sf_dir):
+    """Graph traversal: distinct 2-hop paths a-[p1]->b-[p2]->c over the
+    deduplicated edge view (self-join on the shared node), with path support
+    counts. Rows-only: built on the pandas-UDF pipeline's edges."""
+    from .plans.pipeline import build_kg
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    kg = build_kg(spark, synth_transcripts(docs), synth_aliases(spark))
+    e1 = kg.kg_edge_stats.select(
+        F.col("subj_cui").alias("a"), F.col("pred").alias("p1"),
+        F.col("obj_cui").alias("b"), F.col("n_evidence").alias("n1"),
+    )
+    e2 = kg.kg_edge_stats.select(
+        F.col("subj_cui").alias("b"), F.col("pred").alias("p2"),
+        F.col("obj_cui").alias("c"), F.col("n_evidence").alias("n2"),
+    )
+    return (
+        e1.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .select(
+            "a", "p1", "b", "p2", "c",
+            F.least(F.col("n1"), F.col("n2")).alias("path_support"),
+        )
+    )
