@@ -1580,3 +1580,66 @@ def kg_two_hop_paths(spark, sf_dir):
             F.least(F.col("n1"), F.col("n2")).alias("path_support"),
         )
     )
+
+
+_SYNTH_SQL_CTE = """
+    toks0 AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    base0 AS (
+      SELECT doc_id, t, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks0
+    ),
+    turns0 AS (
+      SELECT doc_id, t, CAST(unnest(range(0, n)) AS INT) AS turn_idx FROM base0
+    ),
+    synth AS (
+      SELECT 'conv_' || doc_id AS conv_id, turn_idx,
+             CASE WHEN (doc_id + turn_idx) % 3 = 0
+                  THEN array_to_string(t[turn_idx * 12 + 1 : turn_idx * 12 + 12], ' ') || '. '
+                       || (['spark','customer','table','window','vector','column','batch','stream'])
+                            [CAST((doc_id * 7 + turn_idx) % 8 AS INT) + 1]
+                       || ' '
+                       || (['inhibits','treats','causes','activates','prevents'])
+                            [CAST((doc_id + turn_idx) % 5 AS INT) + 1]
+                       || ' '
+                       || (['spark','customer','table','window','vector','column','batch','stream'])
+                            [CAST((doc_id * 13 + turn_idx) % 8 AS INT) + 1]
+                       || '.'
+                  ELSE array_to_string(t[turn_idx * 12 + 1 : turn_idx * 12 + 12], ' ') || '.'
+             END AS text
+      FROM turns0
+    )
+"""
+
+
+@q(
+    "kg_mention_detect_synth",
+    f"""
+    WITH {_SYNTH_SQL_CTE},
+    tok AS (
+      SELECT conv_id, turn_idx,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM synth
+    )
+    SELECT conv_id, turn_idx,
+           lower(regexp_replace(regexp_replace(w, '^[^A-Za-z0-9]+', ''), '[^A-Za-z0-9]+$', '')) AS alias_key
+    FROM tok
+    WHERE lower(regexp_replace(regexp_replace(w, '^[^A-Za-z0-9]+', ''), '[^A-Za-z0-9]+$', ''))
+          IN ('spark','customer','table','window','vector','column','batch','stream','data')
+    """,
+)
+def kg_mention_detect_synth(spark, sf_dir):
+    """Stage [2] SQL-checked: the mention multiset per turn from the pandas-UDF
+    detector equals a per-token dictionary membership scan (exact because this
+    dictionary is single-token; multi-token longest-match is pytest-verified
+    on the fixture dictionary)."""
+    from .operators.extraction import detect_mentions_df
+    from .operators.turn_assembly import assemble_turns
+    from .plans.pipeline import broadcast_alias_keys
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    aliases = synth_aliases(spark)
+    turns = assemble_turns(synth_transcripts(docs))
+    keys_bc = broadcast_alias_keys(spark, aliases)
+    return detect_mentions_df(turns, keys_bc).select("conv_id", "turn_idx", "alias_key")
