@@ -1643,3 +1643,30 @@ def kg_mention_detect_synth(spark, sf_dir):
     turns = assemble_turns(synth_transcripts(docs))
     keys_bc = broadcast_alias_keys(spark, aliases)
     return detect_mentions_df(turns, keys_bc).select("conv_id", "turn_idx", "alias_key")
+
+
+@q(
+    "q19_disjunctive_predicates",
+    """
+    SELECT count(*) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_size >= 45 AND l.l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicates across a join —
+    exercises CNF conversion / partial pushdown of OR branches."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_size") >= 45) & (F.col("l_quantity") >= 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )

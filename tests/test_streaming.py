@@ -99,3 +99,57 @@ def test_stateful_conversation_progress(spark, tables, tmp_path):
     for conv_id, row in want.iterrows():
         assert got.loc[conv_id, "n_turns"] == row["n_turns"], conv_id
         assert got.loc[conv_id, "max_turn_idx"] == row["max_turn_idx"], conv_id
+
+
+def test_streaming_windowed_counts_match_batch(spark, tables, tmp_path):
+    """Watermarked tumbling-window aggregate over the turn stream matches the
+    batch groupBy on the same data (append mode, availableNow drain)."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import (
+        TRANSCRIPTS_SCHEMA,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    t = tables["transcripts"]
+    t.iloc[: len(t) // 2].to_parquet(src / "p0.parquet", index=False)
+    t.iloc[len(t) // 2 :].to_parquet(src / "p1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = spark.sql(
+        "SELECT w.start AS ws, role, n FROM win_counts"
+    ).toPandas()
+    batch = spark.createDataFrame(t)
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .toPandas()
+    )
+    # append mode emits only watermark-closed windows; every emitted row must
+    # match the batch result exactly, and most windows should have closed
+    got_map = {(r["ws"], r["role"]): r["n"] for _, r in got.iterrows()}
+    want_map = {(r["ws"], r["role"]): r["n"] for _, r in want.iterrows()}
+    assert got_map, "no windows closed"
+    for k, v in got_map.items():
+        assert want_map.get(k) == v, k
+    assert len(got_map) >= len(want_map) * 0.5
