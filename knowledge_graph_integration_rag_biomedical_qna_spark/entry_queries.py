@@ -1670,3 +1670,16 @@ def q19_disjunctive_predicates(spark, sf_dir):
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
     )
+
+
+@q("approx_sketches", None)
+def approx_sketches(spark, sf_dir):
+    """Sketch aggregates: HLL distinct + approximate quantiles per group.
+    Rows-only: sketch implementations differ across engines by design; the
+    exact twins (countDistinct, percentile) are SQL-checked separately."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
