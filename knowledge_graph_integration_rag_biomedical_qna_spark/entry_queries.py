@@ -1683,3 +1683,48 @@ def approx_sketches(spark, sf_dir):
         F.percentile_approx("value", 0.5).alias("approx_median"),
         F.percentile_approx("value", 0.99).alias("approx_p99"),
     )
+
+
+@q(
+    "kg_link_score_blend",
+    f"""
+    WITH triples AS ({_KG_TRIPLES_SQL}),
+    surfaces AS (
+      SELECT subj AS surface FROM triples
+      UNION
+      SELECT obj AS surface FROM triples
+    ),
+    dict(alias, cui, prior) AS ({_KG_DICT_SQL}),
+    scored AS (
+      SELECT s.surface, d.cui,
+             round(0.7 * 1.0 + 0.3 * CAST(d.prior AS DOUBLE), 6) AS score
+      FROM surfaces s JOIN dict d ON s.surface = d.alias
+    ),
+    ranked AS (
+      SELECT surface, cui, score,
+             row_number() OVER (PARTITION BY surface ORDER BY score DESC, cui ASC) AS rn
+      FROM scored
+    )
+    SELECT surface, cui, score FROM ranked WHERE rn = 1 AND score >= 0.5
+    """,
+)
+def kg_link_score_blend(spark, sf_dir):
+    """Stage [5] scoring twin, SQL-checked: the SIM*0.7 + prior*0.3 blend with
+    the 0.5 acceptance floor (exact dictionary matches have sim = 1.0), top-1
+    per surface with pinned ties — the engine's link_score on its accept path."""
+    triples = _kg_triples_df(spark, sf_dir)
+    surfaces = (
+        triples.select(F.col("subj").alias("surface"))
+        .union(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    d = _kg_dict_df(spark)
+    scored = surfaces.join(F.broadcast(d), surfaces.surface == d["alias"]).withColumn(
+        "score", F.round(0.7 * F.lit(1.0) + 0.3 * F.col("prior"), 6)
+    )
+    w = Window.partitionBy("surface").orderBy(F.col("score").desc(), F.col("cui").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= 0.5))
+        .select("surface", "cui", "score")
+    )
