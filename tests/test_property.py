@@ -115,3 +115,19 @@ def test_ranking_deterministic_and_sorted(cands):
     scores = [s for _, s in r1]
     assert scores == sorted(scores, reverse=True)
     assert len(r1) <= 10
+
+
+@given(sentence_st, st.sets(st.sampled_from(
+    ["aspirin", "cox2", "beta blocker", "il-6", "beta", "treatment", "the patient x"]
+), max_size=7))
+@settings(max_examples=300, deadline=None)
+def test_alias_index_equals_flat_set(s, keys):
+    """The first-token-indexed matcher (AliasIndex) must produce exactly the
+    mentions of the flat-frozenset path for any dictionary and sentence."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import (
+        AliasIndex,
+    )
+
+    flat = detect_mentions(s, frozenset(keys))
+    indexed = detect_mentions(s, AliasIndex(frozenset(keys)))
+    assert flat == indexed
