@@ -117,17 +117,41 @@ def test_ranking_deterministic_and_sorted(cands):
     assert len(r1) <= 10
 
 
+def _naive_longest_match(sentence, keys):
+    """Reference matcher: the original greedy 3-2-1 n-gram join algorithm,
+    kept here as the specification the AliasIndex fast path must equal."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import (
+        _norm_token,
+    )
+
+    toks = tokenize(sentence)
+    norm = [_norm_token(w) for w, _, _ in toks]
+    out, i, n = [], 0, len(toks)
+    while i < n:
+        hit = None
+        for span in range(min(3, n - i), 0, -1):
+            key = " ".join(norm[i : i + span])
+            if key in keys:
+                hit = (span, key)
+                break
+        if hit is None:
+            i += 1
+            continue
+        span, key = hit
+        out.append((i, i + span, key, sentence[toks[i][1] : toks[i + span - 1][2]]))
+        i += span
+    return out
+
+
 @given(sentence_st, st.sets(st.sampled_from(
     ["aspirin", "cox2", "beta blocker", "il-6", "beta", "treatment", "the patient x"]
 ), max_size=7))
 @settings(max_examples=300, deadline=None)
-def test_alias_index_equals_flat_set(s, keys):
-    """The first-token-indexed matcher (AliasIndex) must produce exactly the
-    mentions of the flat-frozenset path for any dictionary and sentence."""
-    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import (
-        AliasIndex,
-    )
-
-    flat = detect_mentions(s, frozenset(keys))
-    indexed = detect_mentions(s, AliasIndex(frozenset(keys)))
-    assert flat == indexed
+def test_alias_index_equals_naive_matcher(s, keys):
+    """The first-token-indexed matcher must produce exactly the mentions of
+    the naive greedy longest-match specification for any dictionary/sentence."""
+    got = [
+        (m.tok_start, m.tok_end, m.alias_key, m.surface)
+        for m in detect_mentions(s, frozenset(keys))
+    ]
+    assert got == _naive_longest_match(s, frozenset(keys))
