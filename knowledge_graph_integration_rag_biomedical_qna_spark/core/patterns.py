@@ -102,7 +102,7 @@ class AliasIndex:
     Matching semantics are identical to probing the flat key set.
     """
 
-    __slots__ = ("singles", "multi_first")
+    __slots__ = ("singles", "multi_first", "_by_len")
 
     def __init__(self, alias_keys):
         self.singles: frozenset[str] = frozenset(k for k in alias_keys if " " not in k)
@@ -114,6 +114,19 @@ class AliasIndex:
         for v in multi.values():
             v.sort(key=lambda pk: -len(pk[0]))
         self.multi_first = multi
+        self._by_len = None
+
+    def keys_by_len(self) -> "dict[int, frozenset[str]]":
+        """Token-length -> key-set view (for the vectorized kernel's per-length
+        isin probes). Built lazily, cached on the instance — executors holding
+        the broadcast AliasIndex pay the build once per worker, not per task."""
+        if self._by_len is None:
+            by_len: dict[int, set[str]] = {1: set(self.singles)}
+            for bucket in self.multi_first.values():
+                for parts, full_key in bucket:
+                    by_len.setdefault(len(parts), set()).add(full_key)
+            self._by_len = {k: frozenset(v) for k, v in by_len.items() if v}
+        return self._by_len
 
 
 def _as_index(alias_keys) -> AliasIndex:

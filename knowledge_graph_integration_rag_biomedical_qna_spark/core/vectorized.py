@@ -1,0 +1,458 @@
+"""Vectorized (pyarrow/numpy) extraction kernel — stages [2]+[3] fast path.
+
+Replaces the per-token interpreted-Python matcher of `core.patterns` with
+Arrow compute kernels over a flattened token stream:
+
+- sentence split / ws-normalize: RE2 `replace_substring_regex` + C split
+  (Python's lookbehind split is re-expressed as terminator-capture + \\x00
+  sentinel insertion, bit-identical on ASCII input)
+- tokenize: C split on the non-token char class + leading-punct strip
+  (provably equal to `re.finditer(TOKEN)`: a token is the suffix of a
+  separator-delimited field starting at its first alphanumeric)
+- per-token normalize: `utf8_lower` + trailing-punct regex strip (tokens
+  always start alphanumeric, so alias normalization reduces to these two)
+- dictionary & predicate probes: `is_in` hash joins against the alias-key /
+  predicate-phrase sets, one per n-gram length (<= 3 alias, <= 4 predicate);
+  n-gram keys built with `binary_join_element_wise` over sliced views
+- greedy longest-match non-overlap resolution + SVO assembly: Python, but
+  only over HIT positions (output-sized, not token-sized)
+
+Rows whose text is non-ASCII (or contains the \\x00 sentinel) take the exact
+per-row Python path — RE2's ASCII `\\s` differs from Python's Unicode `\\s`
+there. Semantics are row-for-row identical to `patterns.detect_mentions` /
+`detect_predicates` / `assemble_triples` (property-tested in
+tests/test_property.py): same greedy longest-first order, same normalization
+(predicates lower-only, aliases lower+edge-strip), same confidence rounding.
+
+Reference analog: the engine-side replacement for the reference's batched
+encode loop (rag2-retriever/query_encode.py:51-78) — the per-item model call
+becomes a per-batch columnar pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .config import MAX_ARG_GAP
+from .patterns import PREDICATE_LEXICON, AliasIndex, _as_index, extract_mentions_and_triples
+from .text import split_sentences, tokenize
+
+_SENT_MARK_PAT = r"([.!?;])\s+"     # lookbehind-free form of text._SENT_BOUNDARY
+_NONTOKEN_PAT = r"[^A-Za-z0-9'\-]+"  # complement of text._TOKEN char classes
+_LEAD_PUNCT_PAT = r"^['\-]+"
+_TRAIL_PUNCT_PAT = r"['\-]+$"
+_WS_PAT = r"\s+"
+_SEP = "\x00"
+
+# predicate phrases bucketed by token length: length -> {space-joined: norm}
+_PRED_BY_LEN: dict[int, dict[str, str]] = {}
+for _phrase, _norm in PREDICATE_LEXICON.items():
+    _parts = _phrase.split()
+    _PRED_BY_LEN.setdefault(len(_parts), {})[" ".join(_parts)] = _norm
+_PRED_LENS_DESC = sorted(_PRED_BY_LEN, reverse=True)
+
+# confidence = max(0.1, round(1 - 0.1*(subj_gap+obj_gap), 4)); gaps bounded by
+# MAX_ARG_GAP, so precompute with PYTHON round (np.round can differ by 1 ulp)
+_CONF_TABLE = np.array(
+    [max(0.1, round(1.0 - 0.1 * g, 4)) for g in range(2 * MAX_ARG_GAP + 1)],
+    dtype=np.float64,
+)
+
+_UNIFIED_COLUMNS = [
+    "conv_id", "turn_idx", "sent_idx", "kind", "mention_idx",
+    "surface", "alias_key", "tok_start", "tok_end",
+    "subj_surface", "subj_key", "pred", "obj_surface", "obj_key", "confidence",
+]
+
+# per-process cache: id(AliasIndex) -> (AliasIndex strong ref, {len: pa.Array})
+# The strong ref pins the index so the id can't be reused; at most one
+# dictionary per broadcast per worker, so the "leak" is bounded and shared.
+_PA_VOCAB_CACHE: dict[int, tuple] = {}
+
+
+def _pa_vocab(idx: AliasIndex):
+    import pyarrow as pa
+
+    hit = _PA_VOCAB_CACHE.get(id(idx))
+    if hit is not None and hit[0] is idx:
+        return hit[1]
+    arrays = {k: pa.array(sorted(v), type=pa.string()) for k, v in idx.keys_by_len().items()}
+    _PA_VOCAB_CACHE.clear()
+    _PA_VOCAB_CACHE[id(idx)] = (idx, arrays)
+    return arrays
+
+
+def _pred_vocab():
+    import pyarrow as pa
+
+    key = "__preds__"
+    hit = _PA_VOCAB_CACHE.get(key)
+    if hit is None:
+        hit = (None, {k: pa.array(sorted(v), type=pa.string()) for k, v in _PRED_BY_LEN.items()})
+        _PA_VOCAB_CACHE[key] = hit
+    return hit[1]
+
+
+def _empty_unified() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": np.array([], dtype="int32"),
+            "sent_idx": np.array([], dtype="int32"),
+            "kind": pd.Series([], dtype=object),
+            "mention_idx": np.array([], dtype="int32"),
+            "surface": pd.Series([], dtype=object),
+            "alias_key": pd.Series([], dtype=object),
+            "tok_start": np.array([], dtype="int32"),
+            "tok_end": np.array([], dtype="int32"),
+            "subj_surface": pd.Series([], dtype=object),
+            "subj_key": pd.Series([], dtype=object),
+            "pred": pd.Series([], dtype=object),
+            "obj_surface": pd.Series([], dtype=object),
+            "obj_key": pd.Series([], dtype=object),
+            "confidence": np.array([], dtype="float64"),
+        }
+    )
+
+
+def _ngram_masks(values, sent_of: np.ndarray, vocab_by_len: dict, pc):
+    """For each n-gram length in vocab_by_len, a boolean hit mask over token
+    positions (k-gram starting here, entirely inside one sentence, in vocab)
+    plus the joined-key Arrow array for sparse gathers. Longest-first order."""
+    total = len(values)
+    out: list[tuple[int, np.ndarray, object]] = []
+    for k in sorted(vocab_by_len, reverse=True):
+        vocab = vocab_by_len[k]
+        mask = np.zeros(total, dtype=bool)
+        keys = None
+        if k == 1:
+            mask = pc.is_in(values, value_set=vocab).to_numpy(zero_copy_only=False)
+            keys = values
+        elif total >= k and len(vocab):
+            parts = [values.slice(j, total - k + 1) for j in range(k)]
+            keys = pc.binary_join_element_wise(*parts, " ")
+            hit = pc.is_in(keys, value_set=vocab).to_numpy(zero_copy_only=False)
+            same = sent_of[: total - k + 1] == sent_of[k - 1 :]
+            mask[: total - k + 1] = hit & same
+        out.append((k, mask, keys))
+    return out
+
+
+def _greedy_resolve(masks_desc, sent_of: np.ndarray):
+    """Greedy longest-first, left-to-right, non-overlapping resolution.
+    masks_desc: [(span, mask, keys)] DESCENDING by span.
+
+    Fast path: span-1 hits can never overlap each other, so in sentences with
+    NO multi-token hit every single-token hit is taken — pure numpy. The
+    Python scan runs only over sentences that contain a multi-token hit."""
+    single_mask = None
+    multi_any = None
+    span_at = np.zeros(len(sent_of), dtype=np.int8)
+    for span, m, _k in reversed(masks_desc):  # ascending: longer spans overwrite
+        if span == 1:
+            single_mask = m
+        else:
+            multi_any = m if multi_any is None else (multi_any | m)
+        span_at[m] = span
+    if multi_any is None or not multi_any.any():
+        if single_mask is None:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        pos = np.flatnonzero(single_mask)
+        return pos, np.ones(len(pos), dtype=np.int64)
+
+    nsent = int(sent_of[-1]) + 1 if len(sent_of) else 0
+    dirty_sent = np.zeros(nsent, dtype=bool)
+    dirty_sent[sent_of[multi_any]] = True
+    dirty_tok = dirty_sent[sent_of]
+
+    clean_pos = np.flatnonzero(single_mask & ~dirty_tok) if single_mask is not None \
+        else np.array([], dtype=np.int64)
+
+    taken_pos: list[int] = []
+    taken_span: list[int] = []
+    cur_sent = -1
+    next_free = 0
+    span_l = span_at.tolist()
+    sent_l = sent_of.tolist()
+    for p in np.flatnonzero((span_at > 0) & dirty_tok).tolist():
+        s = sent_l[p]
+        if s != cur_sent:
+            cur_sent = s
+            next_free = 0
+        if p < next_free:
+            continue
+        k = span_l[p]
+        taken_pos.append(p)
+        taken_span.append(k)
+        next_free = p + k
+    if not taken_pos:
+        return clean_pos, np.ones(len(clean_pos), dtype=np.int64)
+    all_pos = np.concatenate([clean_pos, np.asarray(taken_pos, dtype=np.int64)])
+    all_span = np.concatenate(
+        [np.ones(len(clean_pos), dtype=np.int64), np.asarray(taken_span, dtype=np.int64)]
+    )
+    order = np.argsort(all_pos, kind="stable")
+    return all_pos[order], all_span[order]
+
+
+def _gather_strings(pos: np.ndarray, span: np.ndarray, masks_desc, pc) -> np.ndarray:
+    """Batch-gather the matched key string for each taken (pos, span): one
+    Arrow take per span length instead of per-row .as_py()."""
+    import pyarrow as pa
+
+    out = np.empty(len(pos), dtype=object)
+    for k, _m, keys in masks_desc:
+        sel = span == k
+        if sel.any():
+            out[sel] = pc.take(keys, pa.array(pos[sel])).to_pylist()
+    return out
+
+
+def _extract_slow(pdf: pd.DataFrame, idx: AliasIndex) -> pd.DataFrame:
+    """Exact per-row path for non-ASCII / sentinel-bearing rows (rare)."""
+    conv, ti, si_l, kind, midx = [], [], [], [], []
+    surf, akey, ts_, te_ = [], [], [], []
+    ss, sk, pr, os_, ok_, cf = [], [], [], [], [], []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        for si, sent in enumerate(split_sentences(text)):
+            mentions, triples = extract_mentions_and_triples(sent, idx)
+            for mi, m in enumerate(mentions):
+                conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
+                kind.append("m"); midx.append(mi)
+                surf.append(m.surface); akey.append(m.alias_key)
+                ts_.append(m.tok_start); te_.append(m.tok_end)
+                ss.append(None); sk.append(None); pr.append(None)
+                os_.append(None); ok_.append(None); cf.append(np.nan)
+            for t in triples:
+                conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
+                kind.append("t"); midx.append(-1)
+                surf.append(None); akey.append(None)
+                ts_.append(-1); te_.append(-1)
+                ss.append(t.subj_surface); sk.append(t.subj_key); pr.append(t.pred)
+                os_.append(t.obj_surface); ok_.append(t.obj_key); cf.append(t.confidence)
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.asarray(ti, dtype="int32"),
+            "sent_idx": np.asarray(si_l, dtype="int32"),
+            "kind": pd.Series(kind, dtype=object),
+            "mention_idx": np.asarray(midx, dtype="int32"),
+            "surface": pd.Series(surf, dtype=object),
+            "alias_key": pd.Series(akey, dtype=object),
+            "tok_start": np.asarray(ts_, dtype="int32"),
+            "tok_end": np.asarray(te_, dtype="int32"),
+            "subj_surface": pd.Series(ss, dtype=object),
+            "subj_key": pd.Series(sk, dtype=object),
+            "pred": pd.Series(pr, dtype=object),
+            "obj_surface": pd.Series(os_, dtype=object),
+            "obj_key": pd.Series(ok_, dtype=object),
+            "confidence": np.asarray(cf, dtype="float64"),
+        },
+        columns=_UNIFIED_COLUMNS,
+    )
+
+
+def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
+    """One pandas batch of turns (conv_id, turn_idx, text) -> unified
+    extraction rows (UNIFIED_SCHEMA of operators.extraction): mention rows
+    (kind='m') then triple rows (kind='t') per sentence, in sentence order —
+    the exact row set AND row order of the per-row Python path."""
+    idx: AliasIndex = _as_index(alias_keys)
+    if len(pdf) == 0:
+        return _empty_unified()
+    pdf = pdf.reset_index(drop=True)
+    texts = pdf["text"].fillna("")
+    ok = np.fromiter(
+        (isinstance(t, str) and t.isascii() and _SEP not in t for t in texts),
+        dtype=bool,
+        count=len(texts),
+    )
+    if ok.all():
+        return _extract_fast(pdf, texts, idx)
+    # mixed batch: process maximal ok/!ok runs in order so global row order is
+    # identical to the pure row path
+    out = []
+    n = len(pdf)
+    run_start = 0
+    for i in range(1, n + 1):
+        if i == n or ok[i] != ok[run_start]:
+            seg = pdf.iloc[run_start:i]
+            if ok[run_start]:
+                out.append(_extract_fast(seg.reset_index(drop=True),
+                                         texts.iloc[run_start:i].reset_index(drop=True), idx))
+            else:
+                out.append(_extract_slow(seg, idx))
+            run_start = i
+    out = [o for o in out if len(o)]
+    if not out:
+        return _empty_unified()
+    return pd.concat(out, ignore_index=True)
+
+
+def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # --- sentences: strip -> mark terminator boundaries -> split -> ws-normalize ---
+    arr = pa.array(texts.to_numpy(dtype=object), type=pa.string())
+    marked = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(arr), pattern=_SENT_MARK_PAT, replacement="\\1" + _SEP
+    )
+    parts = pc.split_pattern(marked, pattern=_SEP)
+    p_off = parts.offsets.to_numpy()
+    sent_norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(parts.flatten(), pattern=_WS_PAT, replacement=" ")
+    )
+    keep = pc.greater(pc.utf8_length(sent_norm), 1).to_numpy(zero_copy_only=False)
+    keep_idx = np.flatnonzero(keep)
+    if keep_idx.size == 0:
+        return _empty_unified()
+    sent_arr = pc.take(sent_norm, pa.array(keep_idx))
+    row_of_sent = np.repeat(np.arange(len(pdf)), np.diff(p_off))[keep_idx]
+    nsent = keep_idx.size
+    grp_start = np.flatnonzero(np.r_[True, row_of_sent[1:] != row_of_sent[:-1]])
+    grp_len = np.diff(np.r_[grp_start, nsent])
+    sent_idx_arr = np.arange(nsent) - np.repeat(grp_start, grp_len)
+
+    # --- tokens: split on non-token chars, strip leading '/-, drop empties ---
+    fields = pc.split_pattern_regex(sent_arr, pattern=_NONTOKEN_PAT)
+    f_off = fields.offsets.to_numpy()
+    tok_raw = pc.replace_substring_regex(
+        fields.flatten(), pattern=_LEAD_PUNCT_PAT, replacement=""
+    )
+    nz_idx = np.flatnonzero(pc.greater(pc.utf8_length(tok_raw), 0).to_numpy(zero_copy_only=False))
+    total = nz_idx.size
+    if total == 0:
+        return _empty_unified()
+    tok = pc.take(tok_raw, pa.array(nz_idx))
+    sent_of = np.repeat(np.arange(nsent), np.diff(f_off))[nz_idx]
+    first = np.flatnonzero(np.r_[True, sent_of[1:] != sent_of[:-1]])
+    cnt = np.diff(np.r_[first, total])
+    pos_in_sent = np.arange(total) - np.repeat(first, cnt)
+
+    low = pc.utf8_lower(tok)
+    norm = pc.replace_substring_regex(low, pattern=_TRAIL_PUNCT_PAT, replacement="")
+
+    # --- greedy dictionary match (aliases on norm, predicates on low) ---
+    alias_masks = _ngram_masks(norm, sent_of, _pa_vocab(idx), pc)
+    if alias_masks:
+        m_pos, m_span = _greedy_resolve(alias_masks, sent_of)
+    else:
+        m_pos = m_span = np.array([], dtype=np.int64)
+    pred_masks = _ngram_masks(low, sent_of, _pred_vocab(), pc)
+    p_pos, p_span = _greedy_resolve(pred_masks, sent_of)
+
+    # --- mention records (char offsets only for multi-token spans, sparse) ---
+    n_m = len(m_pos)
+    ment_sent = sent_of[m_pos] if n_m else np.array([], dtype=np.int64)
+    ment_ts = pos_in_sent[m_pos] if n_m else np.array([], dtype=np.int64)
+    ment_te = ment_ts + m_span
+    # mention_idx = rank within sentence (taken mentions are sentence-ordered)
+    if n_m:
+        mg_start = np.flatnonzero(np.r_[True, ment_sent[1:] != ment_sent[:-1]])
+        mg_len = np.diff(np.r_[mg_start, n_m])
+        ment_midx = np.arange(n_m) - np.repeat(mg_start, mg_len)
+        ment_key = _gather_strings(m_pos, m_span, alias_masks, pc)
+        ment_surf = np.empty(n_m, dtype=object)
+        single = m_span == 1
+        if single.any():
+            ment_surf[single] = pc.take(tok, pa.array(m_pos[single])).to_pylist()
+        multi_i = np.flatnonzero(~single)
+        if multi_i.size:
+            sent_py: dict[int, str] = {}
+            toks_py: dict[int, list] = {}
+            for i in multi_i:
+                s = int(ment_sent[i])
+                toks = toks_py.get(s)
+                if toks is None:
+                    sent_py[s] = sent_arr[s].as_py()
+                    toks = tokenize(sent_py[s])
+                    toks_py[s] = toks
+                cs = toks[int(ment_ts[i])][1]
+                ce = toks[int(ment_te[i]) - 1][2]
+                ment_surf[i] = sent_py[s][cs:ce]
+    else:
+        ment_midx = np.array([], dtype=np.int64)
+        ment_key = np.array([], dtype=object)
+        ment_surf = np.array([], dtype=object)
+
+    # --- triples: nearest mention before/after each predicate, per sentence ---
+    # batch searchsorted over composite (sentence, token-pos) keys: the global
+    # mention end/start key arrays are sorted (sentences ascending, positions
+    # ascending within), so one vectorized bisect replaces the per-pred loop
+    if len(p_pos) and n_m:
+        p_sent = sent_of[p_pos]
+        ps = pos_in_sent[p_pos]
+        pe = ps + p_span
+        big = np.int64(total + 2)
+        si = np.searchsorted(ment_sent * big + ment_te, p_sent * big + ps, side="right") - 1
+        oi = np.searchsorted(ment_sent * big + ment_ts, p_sent * big + pe, side="left")
+        ok_t = (si >= 0) & (oi < n_m)
+        sic = np.clip(si, 0, n_m - 1)
+        oic = np.clip(oi, 0, n_m - 1)
+        ok_t &= (ment_sent[sic] == p_sent) & (ment_sent[oic] == p_sent)
+        sg = ps - ment_te[sic]
+        og = ment_ts[oic] - pe
+        ok_t &= (sg <= MAX_ARG_GAP) & (og <= MAX_ARG_GAP)
+        vi = np.flatnonzero(ok_t)
+        tri_sent_a = p_sent[vi]
+        tsubj = sic[vi]
+        tobj = oic[vi]
+        p_phrase = _gather_strings(p_pos[vi], p_span[vi], pred_masks, pc)
+        pl = p_span[vi].tolist()
+        tri_pred = [_PRED_BY_LEN[k][ph] for k, ph in zip(pl, p_phrase.tolist())]
+        tri_conf = _CONF_TABLE[(sg[vi] + og[vi]).astype(np.int64)]
+    else:
+        tri_sent_a = tsubj = tobj = np.array([], dtype=np.int64)
+        tri_pred = []
+        tri_conf = np.array([], dtype=np.float64)
+
+    # --- assemble in row-path order: per sentence, mentions then triples ---
+    n_t = len(tri_sent_a)
+    n_out = n_m + n_t
+    if n_out == 0:
+        return _empty_unified()
+    out_sent = np.concatenate([ment_sent, tri_sent_a])
+    kind_rank = np.concatenate([np.zeros(n_m, dtype=np.int8), np.ones(n_t, dtype=np.int8)])
+    within = np.concatenate([np.arange(n_m), np.arange(n_t)])
+    order = np.lexsort((within, kind_rank, out_sent))
+    is_m = kind_rank[order] == 0
+    sent_sel = out_sent[order]
+    conv_arr = pdf["conv_id"].to_numpy()
+    ti_arr = pdf["turn_idx"].to_numpy()
+    none_t = np.full(n_t, None, dtype=object)
+    none_m = np.full(n_m, None, dtype=object)
+
+    def _cat(m_vals, t_vals):
+        return np.concatenate(
+            [np.asarray(m_vals, dtype=object), np.asarray(t_vals, dtype=object)]
+        )[order]
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_arr[row_of_sent[sent_sel]],
+            "turn_idx": ti_arr[row_of_sent[sent_sel]].astype("int32"),
+            "sent_idx": sent_idx_arr[sent_sel].astype("int32"),
+            "kind": np.where(is_m, "m", "t"),
+            "mention_idx": np.concatenate(
+                [ment_midx, np.full(n_t, -1, dtype=np.int64)]
+            )[order].astype("int32"),
+            "surface": _cat(ment_surf, none_t),
+            "alias_key": _cat(ment_key, none_t),
+            "tok_start": np.concatenate(
+                [ment_ts, np.full(n_t, -1, dtype=np.int64)]
+            )[order].astype("int32"),
+            "tok_end": np.concatenate(
+                [ment_te, np.full(n_t, -1, dtype=np.int64)]
+            )[order].astype("int32"),
+            "subj_surface": _cat(none_m, ment_surf[tsubj] if n_t else none_t),
+            "subj_key": _cat(none_m, ment_key[tsubj] if n_t else none_t),
+            "pred": _cat(none_m, np.asarray(tri_pred, dtype=object)),
+            "obj_surface": _cat(none_m, ment_surf[tobj] if n_t else none_t),
+            "obj_key": _cat(none_m, ment_key[tobj] if n_t else none_t),
+            "confidence": np.concatenate(
+                [np.full(n_m, np.nan), tri_conf]
+            )[order],
+        }
+    )

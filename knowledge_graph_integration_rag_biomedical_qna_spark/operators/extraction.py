@@ -125,6 +125,27 @@ def extract_all_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     and triple rows (kind='t') share the output. Downstream callers split
     with a filter — persist the result so both branches reuse the pass.
 
+    The kernel is the VECTORIZED pandas/numpy path (core.vectorized): C-regex
+    tokenization over whole Arrow batches + hash-join dictionary probes, with
+    interpreted Python only on hit positions. Property-tested row-for-row
+    equal to the per-row matcher (`row_path_unified_pdf` below), which it
+    replaced after profiling showed the per-token Python loop at ~20k
+    turns/s/core was the pipeline's 100x-scale bottleneck."""
+    from ..core.vectorized import extract_unified_pdf
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = alias_keys_bc.value
+        for pdf in batches:
+            yield extract_unified_pdf(pdf, keys)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, UNIFIED_SCHEMA)
+
+
+def row_path_unified_pdf(pdf: pd.DataFrame, keys) -> pd.DataFrame:
+    """Per-row Python reference implementation of one unified-extraction batch
+    (the original kernel). Kept as the specification the vectorized kernel is
+    property-tested against; not used in the hot path.
+
     Output batches are built as typed columnar arrays (int32/float64 numpy,
     not object tuples): Arrow conversion of 15 object columns was the
     dominant cost of the stage (~2x) at millions of output rows per task.
@@ -134,50 +155,45 @@ def extract_all_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
 
     from ..core.patterns import extract_mentions_and_triples
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys = alias_keys_bc.value
-        for pdf in batches:
-            conv, ti, si_l, kind, midx = [], [], [], [], []
-            surf, akey, ts_, te_ = [], [], [], []
-            ss, sk, pr, os_, ok_, cf = [], [], [], [], [], []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                for si, sent in enumerate(split_sentences(text)):
-                    mentions, triples = extract_mentions_and_triples(sent, keys)
-                    for mi, m in enumerate(mentions):
-                        conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
-                        kind.append("m"); midx.append(mi)
-                        surf.append(m.surface); akey.append(m.alias_key)
-                        ts_.append(m.tok_start); te_.append(m.tok_end)
-                        ss.append(None); sk.append(None); pr.append(None)
-                        os_.append(None); ok_.append(None); cf.append(np.nan)
-                    for t in triples:
-                        conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
-                        kind.append("t"); midx.append(-1)
-                        surf.append(None); akey.append(None)
-                        ts_.append(-1); te_.append(-1)
-                        ss.append(t.subj_surface); sk.append(t.subj_key); pr.append(t.pred)
-                        os_.append(t.obj_surface); ok_.append(t.obj_key); cf.append(t.confidence)
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv,
-                    "turn_idx": np.asarray(ti, dtype="int32"),
-                    "sent_idx": np.asarray(si_l, dtype="int32"),
-                    "kind": kind,
-                    "mention_idx": np.asarray(midx, dtype="int32"),
-                    "surface": surf,
-                    "alias_key": akey,
-                    "tok_start": np.asarray(ts_, dtype="int32"),
-                    "tok_end": np.asarray(te_, dtype="int32"),
-                    "subj_surface": ss,
-                    "subj_key": sk,
-                    "pred": pr,
-                    "obj_surface": os_,
-                    "obj_key": ok_,
-                    "confidence": np.asarray(cf, dtype="float64"),
-                }
-            )
-
-    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, UNIFIED_SCHEMA)
+    conv, ti, si_l, kind, midx = [], [], [], [], []
+    surf, akey, ts_, te_ = [], [], [], []
+    ss, sk, pr, os_, ok_, cf = [], [], [], [], [], []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        for si, sent in enumerate(split_sentences(text)):
+            mentions, triples = extract_mentions_and_triples(sent, keys)
+            for mi, m in enumerate(mentions):
+                conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
+                kind.append("m"); midx.append(mi)
+                surf.append(m.surface); akey.append(m.alias_key)
+                ts_.append(m.tok_start); te_.append(m.tok_end)
+                ss.append(None); sk.append(None); pr.append(None)
+                os_.append(None); ok_.append(None); cf.append(np.nan)
+            for t in triples:
+                conv.append(conv_id); ti.append(turn_idx); si_l.append(si)
+                kind.append("t"); midx.append(-1)
+                surf.append(None); akey.append(None)
+                ts_.append(-1); te_.append(-1)
+                ss.append(t.subj_surface); sk.append(t.subj_key); pr.append(t.pred)
+                os_.append(t.obj_surface); ok_.append(t.obj_key); cf.append(t.confidence)
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.asarray(ti, dtype="int32"),
+            "sent_idx": np.asarray(si_l, dtype="int32"),
+            "kind": kind,
+            "mention_idx": np.asarray(midx, dtype="int32"),
+            "surface": surf,
+            "alias_key": akey,
+            "tok_start": np.asarray(ts_, dtype="int32"),
+            "tok_end": np.asarray(te_, dtype="int32"),
+            "subj_surface": ss,
+            "subj_key": sk,
+            "pred": pr,
+            "obj_surface": os_,
+            "obj_key": ok_,
+            "confidence": np.asarray(cf, dtype="float64"),
+        }
+    )
 
 
 def mentions_view(unified: DataFrame) -> DataFrame:

@@ -155,3 +155,46 @@ def test_alias_index_equals_naive_matcher(s, keys):
         for m in detect_mentions(s, frozenset(keys))
     ]
     assert got == _naive_longest_match(s, frozenset(keys))
+
+
+# --- vectorized kernel == per-row kernel (the r2 fast-path equivalence) ---
+
+unicode_text_st = st.text(min_size=0, max_size=120)  # full unicode incl. \x00
+
+
+def _norm_unified(df):
+    import pandas as pd
+
+    df = df.reset_index(drop=True).copy()
+    df["conv_id"] = df["conv_id"].astype(str)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df["kind"] = df["kind"].astype(object)
+    return df
+
+
+@given(st.lists(st.one_of(sentence_st, text_st, unicode_text_st), min_size=0, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_kernel_equals_row_path(texts):
+    """extract_unified_pdf (pyarrow fast path + non-ASCII fallback) produces
+    the exact row set, row ORDER, and values of the per-row Python matcher."""
+    import pandas as pd
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import AliasIndex
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.vectorized import (
+        extract_unified_pdf,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.extraction import (
+        row_path_unified_pdf,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "text": texts,
+        }
+    )
+    idx = AliasIndex(KEYS)
+    got = _norm_unified(extract_unified_pdf(pdf, idx))
+    want = _norm_unified(row_path_unified_pdf(pdf, idx))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
