@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "p4_percentile_filter",
     "a7_canonical_grouping",
     "dedup_minhash_pairs",
+    "dedup_minhash_pairs_fast",
     "ann_cosine_topk",
     "text_fingerprint",
     "sessionize_events",

@@ -717,10 +717,10 @@ def text_quality_score(spark, sf_dir):
       FROM c
     )
     SELECT doc_id,
-           CASE WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de AND n_fr > 0 THEN 'fr'
-                WHEN n_es >= n_en AND n_es >= n_de AND n_es > 0 THEN 'es'
-                WHEN n_en >= n_de AND n_en > 0 THEN 'en'
-                WHEN n_de > 0 THEN 'de'
+           CASE WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+                WHEN n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+                WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+                WHEN n_fr > 0 THEN 'fr'
                 ELSE 'und' END AS lang_pred
     FROM cnt
     """,
@@ -838,6 +838,36 @@ def dedup_minhash_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup(docs, n=3, num_hashes=16, bands=4, threshold=0.35)
+
+
+@q(
+    "dedup_minhash_pairs_fast",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+      GROUP BY sa.id, sb.id
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.35
+    """,
+)
+def dedup_minhash_pairs_fast(spark, sf_dir):
+    """PRODUCTION MinHash kernel: xxhash64 family (not SQL-reproducible), 8
+    bands x 2 rows. The oracle is therefore the EXACT all-pairs Jaccard — a
+    stricter check than the md5 twin's replicated-LSH oracle: it passes only
+    while banded recall is 1.0, which holds on this corpus at both sf0.01 and
+    sf0.1 (verified; every true pair here has j >= 0.8, and a miss at
+    8 bands x 2 rows needs (1-j^2)^8 ~ 3e-4). Precision is exact either way
+    (Jaccard verification)."""
+    from .operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, n=3, num_hashes=16, bands=8, threshold=0.35, family="xxhash64")
 
 
 # ---------------------------------------------------------------------------
@@ -1121,7 +1151,7 @@ def dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash, simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash(docs), prefix_bits=16)
+    return simhash_near_dups(simhash(docs), band_bits=16, bands=4)
 
 
 @q("ann_ivf_topk", None)

@@ -46,21 +46,31 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
 
 
-def minhash_hash_expr(i: int):
+def minhash_hash_expr(i: int, col=None):
     """Hash i of the md5-derived family: 8 hex chars (32 bits) carved from
     md5('<i//4>:' || shingle) at offset 8*(i%4). Four hashes share one md5
     (whole-stage codegen CSEs the md5 across the four substrings), so a
     16-hash signature costs 4 md5 evaluations per shingle, not 16. Hex
     substrings compare lexicographically == numerically, which is all minhash
     needs. Engine-portable: the DuckDB oracle computes the identical value."""
-    return F.substring(
-        F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))), 1 + 8 * (i % 4), 8
-    )
+    col = F.col("shingle") if col is None else col
+    return F.substring(F.md5(F.concat(F.lit(f"{i // 4}:"), col)), 1 + 8 * (i % 4), 8)
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, h0..h{m-1}) — hash i = min over shingles of minhash_hash_expr(i)."""
-    aggs = [F.min(minhash_hash_expr(i)).alias(f"h{i}") for i in range(num_hashes)]
+def minhash_hash_expr_fast(i: int, col=None):
+    """Hash i of the xxhash64 family: one 64-bit JVM hash per (seed-string,
+    shingle) — ~an order of magnitude cheaper than md5 and the PRODUCTION
+    default. Not reproducible outside Spark (the md5 family above remains the
+    DuckDB-oracle twin)."""
+    col = F.col("shingle") if col is None else col
+    return F.xxhash64(F.lit(f"{i}:"), col)
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, family: str = "md5") -> DataFrame:
+    """(id, h0..h{m-1}) — hash i = min over shingles of the chosen family
+    ('md5' = oracle-reproducible hex, 'xxhash64' = fast production bigint)."""
+    expr = minhash_hash_expr if family == "md5" else minhash_hash_expr_fast
+    aggs = [F.min(expr(i)).alias(f"h{i}") for i in range(num_hashes)]
     return shingles.groupBy("id").agg(*aggs)
 
 
@@ -86,8 +96,17 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, bands: int 
     )
 
 
-def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold."""
+def jaccard_verify(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.7,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold.
+
+    Pass `sizes` (id, n) if the caller already aggregated per-doc shingle
+    counts (minhash_dedup folds them into the signature groupBy) — it saves a
+    full shuffle over the shingle table."""
     sa = shingles.select(F.col("id").alias("id_a"), F.col("shingle"))
     sb = shingles.select(F.col("id").alias("id_b"), F.col("shingle"))
     inter = (
@@ -96,7 +115,8 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
@@ -117,12 +137,31 @@ def minhash_dedup(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: verified duplicate pairs."""
+    """Full MinHash-LSH near-dup pipeline: verified duplicate pairs.
+
+    family='xxhash64' is the production kernel (fast JVM hash); 'md5' is the
+    engine-portable flavor the DuckDB oracle reproduces bit-for-bit. Precision
+    is identical either way (exact Jaccard verification); candidate recall is
+    the banded-LSH probability 1-(1-j^r)^b for each family's random draw.
+
+    Shuffle budget: the signature groupBy also carries the per-doc shingle
+    COUNT, so exactly two shingle-sized shuffles run (signatures,
+    intersection). (A per-row array_min(transform(...)) formulation avoids
+    the first shuffle entirely but measured 2x SLOWER: higher-order array
+    functions are interpreted, not whole-stage-codegen'd, and the md5 CSE
+    across substrings is lost across lambda boundaries.) The shingle table is
+    recomputed from the scan rather than persisted — the right trade at
+    100 TB (shingles are ~n_gram x input)."""
     sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    return jaccard_verify(cand, sh, threshold=threshold)
+    expr = minhash_hash_expr if family == "md5" else minhash_hash_expr_fast
+    agg = sh.groupBy("id").agg(
+        *[F.min(expr(i)).alias(f"h{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    cand = lsh_candidate_pairs(agg, num_hashes=num_hashes, bands=bands)
+    return jaccard_verify(cand, sh, threshold=threshold, sizes=agg.select("id", "n"))
 
 
 # --- simhash -----------------------------------------------------------------
@@ -149,24 +188,60 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_dups(sim: DataFrame, prefix_bits: int = 16) -> DataFrame:
-    """Candidate near-dup pairs: identical high `prefix_bits` of the simhash
-    (banding analog); returns pairs with hamming distance of full hashes."""
-    banded = sim.withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))
+def simhash_near_dups(sim: DataFrame, band_bits: int = 16, bands: int = 4, bits: int = 32) -> DataFrame:
+    """Candidate near-dup pairs via ROTATED banding: band i buckets on
+    `band_bits` bits of the hash rotated by i*bits/bands. Every bit lies
+    OUTSIDE at least `bands - band_bits*bands/bits` bands, so any pair at
+    hamming distance 1 is guaranteed a shared bucket (with the defaults each
+    bit is outside 2 of the 4 bands); larger distances are caught
+    probabilistically by the remaining bands. This replaces the single
+    high-prefix bucket, which silently missed pairs differing only inside the
+    prefix. Returns distinct (id_a < id_b) pairs with full-hash hamming."""
+    rot = bits // bands
+    mask = (1 << band_bits) - 1
+    h = F.col("simhash")
+    band_structs = []
+    for i in range(bands):
+        s = i * rot
+        # rotate-right by s over `bits` bits, then keep the low band_bits
+        rotated = (
+            F.shiftright(h, s).bitwiseOR(F.shiftleft(h, bits - s))
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            if s
+            else h
+        )
+        band_structs.append(
+            F.struct(F.lit(i).alias("band"), rotated.bitwiseAND(F.lit(mask)).alias("key"))
+        )
+    banded = sim.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, "bucket")
+    return (
+        a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .distinct()
     )
-    return pairs
 
 
 # --- embedding near-dup --------------------------------------------------------
+
+def _hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +/-1 hyperplane matrix: sign j,k = parity of
+    md5(f"{j}:{k}"). No RNG (reproducible across engines and rounds)."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.md5(f"{j}:{k}".encode()).digest()[0] % 2 == 0 else -1.0
+         for k in range(dim)]
+        for j in range(num_planes)
+    ]
+
 
 def embedding_near_dups(
     embeddings: DataFrame,
@@ -174,9 +249,20 @@ def embedding_near_dups(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = 8,
 ) -> DataFrame:
-    """Cosine >= threshold pairs. Blocking on `block_col` (or an LSH sign
-    bucket when None) keeps the self-join from going quadratic."""
+    """Cosine >= threshold pairs. Blocking on `block_col`, or — when None —
+    sign-LSH over `num_planes` deterministic +/-1 hyperplanes (2^b buckets)
+    with hamming-1 MULTI-PROBE: the left side probes its own bucket plus each
+    single-bit flip, so a near-dup pair straddling one hyperplane still
+    collides. Expected bucket size n/2^b keeps the verify join sub-quadratic;
+    pairs separated by >=2 hyperplanes are the tolerated recall loss.
+
+    Design center: NEAR-DUP thresholds (>= ~0.9, measured recall 0.989 at
+    0.95 on a planted 480-vector corpus). At loose thresholds (e.g. 0.5 =
+    60 degrees, ~1/3 separation probability PER plane) sign-LSH recall
+    collapses — use `block_col` blocking or the brute-force
+    `ann_threshold_pairs` twin there."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     base = embeddings.select(
@@ -185,21 +271,39 @@ def embedding_near_dups(
         norm.alias("nrm"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    if not block_col:
-        # sign-LSH bucket: sign of sum of first 8 dims (cheap, deterministic)
-        base = base.withColumn(
-            "blk", (F.aggregate(F.slice("v", 1, 8), F.lit(0.0), lambda a, x: a + x) > 0).cast("int")
+    if block_col:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, "blk")
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = _hyperplane_signs(num_planes, dim)
+        sig = F.lit(0)
+        for j, w in enumerate(planes):
+            wcol = F.array(*[F.lit(x) for x in w])
+            dot_j = F.aggregate(
+                F.zip_with(F.col("v"), wcol, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        base = base.withColumn("sig", sig)
+        # left side probes its bucket + every hamming-1 neighbor; right side
+        # stays in its own bucket -> any pair within hamming 1 collides
+        probes = F.array(
+            F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)]
         )
-    a, b = base.alias("a"), base.alias("b")
+        a = base.select("id", "v", "nrm", F.explode(probes).alias("blk")).alias("a")
+        b = base.withColumnRenamed("sig", "blk").alias("b")
+        joined = a.join(b, "blk")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("a.id") < F.col("b.id"))
+        joined.filter(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .distinct()
     )

@@ -79,13 +79,16 @@ def lang_id(text_col: str = "text") -> Column:
     """Argmax language by marker hits; 'und' when no marker fires.
     Deterministic tie-break: language name ascending."""
     scores = lang_scores(text_col)
+    # struct compare is lexicographic on (n, neg_rank): max n wins, ties fall
+    # to the SMALLEST alphabetical rank (neg_rank largest) — the ascending
+    # tie-break the docstring promises
     pairs = F.array(
-        *[F.struct(cnt.alias("n"), F.lit(lang).alias("lang")) for lang, cnt in sorted(scores.items())]
+        *[
+            F.struct(cnt.alias("n"), F.lit(-rank).alias("neg_rank"), F.lit(lang).alias("lang"))
+            for rank, (lang, cnt) in enumerate(sorted(scores.items()))
+        ]
     )
     best = F.array_max(F.filter(pairs, lambda p: p["n"] > 0))
-    # array_max on struct compares (n, lang) lexicographically -> ties pick the
-    # LAST language alphabetically; invert lang for asc tie-break is overkill —
-    # markers are disjoint so ties are rare; pin with reverse sort key anyway.
     return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
 
 

@@ -79,7 +79,7 @@ def test_simhash_near_dups(spark, docs):
     base = docs.limit(10)
     dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
     sim = simhash(base.unionByName(dup))
-    pairs = simhash_near_dups(sim, prefix_bits=16).toPandas()
+    pairs = simhash_near_dups(sim, band_bits=16, bands=4).toPandas()
     exact = pairs[pairs["hamming"] == 0]
     got = set(map(tuple, exact[["id_a", "id_b"]].itertuples(index=False)))
     for i in range(10):
@@ -181,3 +181,122 @@ def test_embedding_near_dups_sign_lsh_blocking(spark, emb):
         emb.unionByName(v0), threshold=0.999, block_col=None
     ).toPandas()
     assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any()
+
+
+def test_simhash_rotated_bands_catch_prefix_bit_flip(spark, docs):
+    """The r1 single-prefix bucketing missed pairs whose only differing bit
+    fell INSIDE the prefix. Rotated banding guarantees hamming-1 recall:
+    plant a vector pair differing in bit 31 (top of the old prefix) and in
+    bit 0, and require both pairs as candidates."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    sim = spark.createDataFrame(
+        [
+            (1, 0b1010_1100_0011_0101_1111_0000_1010_0110),
+            (2, 0b1010_1100_0011_0101_1111_0000_1010_0110 ^ (1 << 31)),  # prefix bit
+            (3, 0b1010_1100_0011_0101_1111_0000_1010_0110 ^ 1),          # low bit
+        ],
+        "id long, simhash long",
+    )
+    pairs = simhash_near_dups(sim, band_bits=16, bands=4).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    assert (1, 2, 1) in got, got  # old prefix bucketing never produced this
+    assert (1, 3, 1) in got, got
+
+
+def test_embedding_near_dups_multiprobe_crosses_hyperplane(spark):
+    """block_col=None: a near-dup pair that lands in DIFFERENT sign buckets
+    (one hyperplane separates them) is still found via hamming-1 multi-probe,
+    and candidate generation is sub-quadratic on a planted corpus."""
+    import numpy as np
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        _hyperplane_signs,
+        embedding_near_dups,
+    )
+
+    dim, b = 16, 8
+    planes = np.array(_hyperplane_signs(b, dim))
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        v = rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v], "x"))
+    # planted pair: v straddling plane 0 -> tiny positive / tiny negative dot
+    base = rng.normal(size=dim)
+    base -= planes[0] * (planes[0] @ base) / (planes[0] @ planes[0])  # on plane 0
+    eps = planes[0] / np.linalg.norm(planes[0])
+    va, vb = base + 1e-3 * eps, base - 1e-3 * eps
+    sig_a = sum((1 << j) for j in range(b) if planes[j] @ va > 0)
+    sig_b = sum((1 << j) for j in range(b) if planes[j] @ vb > 0)
+    assert sig_a != sig_b and bin(sig_a ^ sig_b).count("1") == 1  # truly cross-bucket
+    rows.append((100001, [float(x) for x in va], "x"))
+    rows.append((100002, [float(x) for x in vb], "x"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    pairs = embedding_near_dups(emb, threshold=0.999, block_col=None, num_planes=b).toPandas()
+    assert ((pairs["id_a"] == 100001) & (pairs["id_b"] == 100002)).any(), pairs
+
+    # sub-quadratic blocking: count candidate rows before the cosine filter
+    from pyspark.sql import functions as SF
+
+    sig = None  # candidate count proxy: bucket sizes from the signature
+    # recompute signatures exactly as the operator does
+    sigs = []
+    for i, v, _ in rows:
+        s = sum((1 << j) for j in range(b) if planes[j] @ np.array(v) > 0)
+        sigs.append(s)
+    from collections import Counter
+
+    c = Counter(sigs)
+    n = len(rows)
+    # each left row probes b+1 buckets; candidates = sum over probes of bucket size
+    cand = sum((c[s] + sum(c[s ^ (1 << j)] for j in range(b))) for s in sigs)
+    assert cand < n * n / 4, (cand, n * n)  # far below all-pairs
+
+
+def test_minhash_fast_family_matches_md5_on_planted_dups(spark, docs):
+    """xxhash64 production family: identical shingle sets give identical
+    signatures, so exact duplicates are always caught; verified output on the
+    planted-dup corpus equals the md5 family's."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    base = docs.limit(20)
+    dup = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    all_docs = base.unionByName(dup)
+    fast = minhash_dedup(all_docs, n=3, num_hashes=16, bands=4, threshold=0.6,
+                         family="xxhash64").toPandas()
+    slow = minhash_dedup(all_docs, n=3, num_hashes=16, bands=4, threshold=0.6,
+                         family="md5").toPandas()
+    key = ["id_a", "id_b", "jaccard"]
+    assert sorted(map(tuple, fast[key].itertuples(index=False))) == sorted(
+        map(tuple, slow[key].itertuples(index=False))
+    )
+    for i in range(20):
+        assert ((fast["id_a"] == i) & (fast["id_b"] == i + 100000)).any()
+
+
+def test_lang_id_tie_breaks_ascending(spark):
+    """Equal marker counts resolve to the alphabetically FIRST language —
+    the r1 implementation picked the last and only agreed with its oracle
+    because the SQL mirrored the same bug."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.text_analysis import (
+        lang_id,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the die"),        # en=1 (the), de=1 (die) -> 'de'
+            (2, "el le"),          # es=1, fr=1 -> 'es'
+            (3, "xyzzy plugh"),    # nothing -> 'und'
+            (4, "the the der"),    # en=2 > de=1 -> 'en'
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "de", 2: "es", 3: "und", 4: "en"}, got
