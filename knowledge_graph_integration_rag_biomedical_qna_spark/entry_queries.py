@@ -35,6 +35,31 @@ def q(name: str, sql: str | None):
     return deco
 
 
+def _qm(name: str):
+    """Register a query whose oracle is a MATERIALIZED independent result
+    (pandas/numpy re-derivation in oracle/materialize.py): the Spark callable
+    refreshes data/oracle/current/<name>.parquet for its sf_dir as a side
+    effect, and the oracle SQL is a plain read_parquet of that file. Used for
+    semantics DuckDB cannot express (pandas-UDF extraction pipeline, crc32
+    simhash, hashing-trick embeddings, sha256 media decode)."""
+    from .oracle import materialize as _mat
+
+    def deco(fn):
+        def wrapped(spark, sf_dir, _fn=fn, _name=name):
+            try:
+                _mat.materialize(sf_dir, _name)
+            except Exception:
+                pass  # a stale oracle file fails the compare loudly; never fail the query
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = (wrapped, _mat.oracle_read_sql(name))
+        return wrapped
+
+    return deco
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1114,7 +1139,7 @@ def q3_order_revenue(spark, sf_dir):
 # Non-SQL-expressible operators (rows-only driver check; pytest-verified)
 # ---------------------------------------------------------------------------
 
-@q("kg_pipeline_full", None)
+@_qm("kg_pipeline_full")
 def kg_pipeline_full(spark, sf_dir):
     """The flagship: full KG construction over transcripts synthesized from
     the documents table — stages [1]-[6] with pandas-UDF extraction. Verified
@@ -1131,7 +1156,7 @@ def kg_pipeline_full(spark, sf_dir):
     )
 
 
-@q("kg_nodes_full", None)
+@_qm("kg_nodes_full")
 def kg_nodes_full(spark, sf_dir):
     """Canonicalized node table of the flagship pipeline (salted groupBy)."""
     from .plans.pipeline import build_kg
@@ -1144,7 +1169,7 @@ def kg_nodes_full(spark, sf_dir):
     )
 
 
-@q("dedup_simhash", None)
+@_qm("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (crc32 unavailable in the SQL oracle —
     rows-only; semantics pytest-verified with planted duplicates)."""
@@ -1156,8 +1181,10 @@ def dedup_simhash(spark, sf_dir):
 
 @q("ann_ivf_topk", None)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (iterative centroid refinement — not one SQL
-    statement; recall vs brute force pytest-verified)."""
+    """IVF approximate top-k. Rows-only ON PURPOSE: the Lloyd-step centroid
+    means are float sums whose order depends on partitioning, so nearest-
+    centroid assignment (hence the candidate set) is not bit-reproducible by
+    an independent engine; recall vs brute force is pytest-gated instead."""
     from .operators.similarity import build_ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1168,7 +1195,7 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(assignments, centroids, queries, k=10, nprobe=4)
 
 
-@q("multimodal_decode", None)
+@_qm("multimodal_decode")
 def multimodal_decode(spark, sf_dir):
     """Multimodal decode plumbing (binary payload -> metadata + features via
     Arrow-batched mapInPandas; codec stubbed deterministically)."""
@@ -1205,7 +1232,7 @@ def prune_threshold_rank(spark, sf_dir):
     )
 
 
-@q("embed_link_score", None)
+@_qm("embed_link_score")
 def embed_link_score(spark, sf_dir):
     """Embedding-path link scoring (M1-M3 analog): hashed n-gram embeddings of
     extracted surfaces vs dictionary aliases, cosine top-1 per surface.
@@ -1382,7 +1409,7 @@ def q5_join_breadth(spark, sf_dir):
     )
 
 
-@q("kg_edge_stats_full", None)
+@_qm("kg_edge_stats_full")
 def kg_edge_stats_full(spark, sf_dir):
     """Deduplicated graph view: (subj_cui, pred, obj_cui) with evidence
     counters over the flagship pipeline's edges (A7/A4 shapes at graph level)."""
@@ -1396,7 +1423,7 @@ def kg_edge_stats_full(spark, sf_dir):
     )
 
 
-@q("kg_question_retrieval", None)
+@_qm("kg_question_retrieval")
 def kg_question_retrieval(spark, sf_dir):
     """Query-side retrieval: questions -> entity links -> 1-hop evidence
     edges, per-question top-k (the reference's retrieve->rerank use case over
@@ -1584,7 +1611,7 @@ def kg_turn_assembly_synth(spark, sf_dir):
     return turns.select("conv_id", "turn_idx", "role", "text", "tool")
 
 
-@q("kg_two_hop_paths", None)
+@_qm("kg_two_hop_paths")
 def kg_two_hop_paths(spark, sf_dir):
     """Graph traversal: distinct 2-hop paths a-[p1]->b-[p2]->c over the
     deduplicated edge view (self-join on the shared node), with path support

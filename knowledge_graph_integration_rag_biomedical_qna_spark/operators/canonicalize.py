@@ -45,13 +45,21 @@ def canonicalize_nodes(resolved_mentions: DataFrame, salt_buckets: int = CANON_S
     )
 
 
-def aggregate_edges(resolved_triples: DataFrame) -> DataFrame:
+def aggregate_edges(resolved_triples: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """kg_edge_stats(subj_cui, pred, obj_cui, n_evidence, avg_confidence,
     n_convs) — the deduplicated graph view over evidence-level edges.
     groupBy keys are (cui, pred, cui): hot pairs exist, but the payload is
-    counters only (map-side partial agg absorbs the skew)."""
+    counters only (map-side partial agg absorbs the skew).
+
+    n_convs is an exact distinct by default so the table is oracle-checkable;
+    pass exact_distinct=False for the HLL sketch when a hot edge's distinct
+    conversation set itself is too large to shuffle (the 10^12-turn setting)."""
+    n_convs = (
+        F.countDistinct("conv_id") if exact_distinct
+        else F.approx_count_distinct("conv_id")
+    )
     return resolved_triples.groupBy("subj_cui", "pred", "obj_cui").agg(
         F.count(F.lit(1)).alias("n_evidence"),
         F.round(F.avg("confidence"), 6).alias("avg_confidence"),
-        F.approx_count_distinct("conv_id").alias("n_convs"),
+        n_convs.alias("n_convs"),
     )
