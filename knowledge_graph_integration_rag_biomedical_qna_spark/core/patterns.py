@@ -105,6 +105,7 @@ class AliasIndex:
     __slots__ = ("singles", "multi_first", "_by_len")
 
     def __init__(self, alias_keys):
+        alias_keys = tuple(alias_keys)  # guard: __init__ iterates twice
         self.singles: frozenset[str] = frozenset(k for k in alias_keys if " " not in k)
         multi: dict[str, list[tuple[tuple[str, ...], str]]] = {}
         for k in alias_keys:

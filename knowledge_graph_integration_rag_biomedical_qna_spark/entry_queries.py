@@ -1449,6 +1449,23 @@ def kg_question_retrieval(spark, sf_dir):
     return retrieve_evidence(links, kg.kg_edge_stats, k=5)
 
 
+@_qm("kg_neighborhood")
+def kg_neighborhood(spark, sf_dir):
+    """`kg query neighbors` surface: per-seed ranked 2-hop subgraph over the
+    flagship pipeline's deduplicated edges (tools/kg_query.py packages this;
+    reference analog: per-query evidence fan-in, rag2-retriever/main.py:119-167)."""
+    from .plans.pipeline import build_kg
+    from .plans.query import neighborhood
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    kg = build_kg(spark, synth_transcripts(docs), synth_aliases(spark))
+    seeds = spark.createDataFrame(
+        [("K0000001",), ("K0000002",), ("K0000003",)], "seed_cui string"
+    )
+    return neighborhood(kg.kg_edge_stats, seeds, hops=2, k=10)
+
+
 @q(
     "q2_min_subquery",
     """

@@ -192,6 +192,37 @@ def kg_question_retrieval_pdf(sf_dir: str, k: int = 5, n_questions: int = 16) ->
     return out.reset_index(drop=True)
 
 
+def kg_neighborhood_pdf(sf_dir: str, hops: int = 2, k: int = 10) -> pd.DataFrame:
+    es = _edge_stats_pdf(sf_dir)
+    rows = []
+    for seed in ("K0000001", "K0000002", "K0000003"):
+        h1 = es[(es["subj_cui"] == seed) | (es["obj_cui"] == seed)]
+        edges = {
+            (r.subj_cui, r.pred, r.obj_cui, int(r.n_evidence)): 1
+            for r in h1.itertuples()
+        }
+        if hops >= 2:
+            frontier = set(h1["subj_cui"]) | set(h1["obj_cui"])
+            frontier.discard(seed)
+            h2 = es[es["subj_cui"].isin(frontier) | es["obj_cui"].isin(frontier)]
+            for r in h2.itertuples():
+                edges.setdefault((r.subj_cui, r.pred, r.obj_cui, int(r.n_evidence)), 2)
+        recs = sorted(
+            ((h, s, p, o, n) for (s, p, o, n), h in edges.items()),
+            key=lambda t: (t[0], -t[4], t[1], t[2], t[3]),
+        )
+        for rank, (h, s, p, o, n) in enumerate(recs[:k], 1):
+            rows.append((seed, h, s, p, o, n, rank))
+    out = pd.DataFrame(
+        rows,
+        columns=["seed_cui", "hop", "subj_cui", "pred", "obj_cui", "n_evidence", "rank"],
+    )
+    out["hop"] = out["hop"].astype("int32")
+    out["n_evidence"] = out["n_evidence"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
 # --------------------------------------------------------------------------
 # dedup / multimodal / embedding oracles
 # --------------------------------------------------------------------------
@@ -304,6 +335,7 @@ ORACLES: dict[str, callable] = {
     "kg_edge_stats_full": kg_edge_stats_full_pdf,
     "kg_two_hop_paths": kg_two_hop_paths_pdf,
     "kg_question_retrieval": kg_question_retrieval_pdf,
+    "kg_neighborhood": kg_neighborhood_pdf,
     "dedup_simhash": dedup_simhash_pdf,
     "multimodal_decode": multimodal_decode_pdf,
     "embed_link_score": embed_link_score_pdf,

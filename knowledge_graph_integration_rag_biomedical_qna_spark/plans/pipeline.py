@@ -61,15 +61,84 @@ class _ClosureBroadcast:
         self.value = value
 
 
-def broadcast_alias_keys(spark: SparkSession, aliases: DataFrame):
+# per-python-worker cache for file-backed dictionaries: (path, mtime) -> index
+_FILE_INDEX_CACHE: dict = {}
+
+
+class FileBackedAliasIndex:
+    """Escape hatch for dictionaries too large to route through the driver:
+    the distinct alias keys are written to a parquet side-file by Spark
+    executors (never collected), and each PYTHON WORKER lazily builds the
+    AliasIndex from that file on first `.value` access, caching it per
+    (path, mtime). Pickles as just the path, so task closures stay tiny.
+    Same `.value` interface as a broadcast."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+    @property
+    def value(self):
+        import os
+
+        from ..core.patterns import AliasIndex
+
+        key = (self.path, os.stat(self.path).st_mtime_ns)
+        hit = _FILE_INDEX_CACHE.get(key)
+        if hit is None:
+            import pyarrow.parquet as pq
+
+            keys = frozenset(
+                pq.read_table(self.path, columns=["alias_key"])
+                .column("alias_key").to_pylist()
+            )
+            hit = AliasIndex(keys)
+            _FILE_INDEX_CACHE.clear()
+            _FILE_INDEX_CACHE[key] = hit
+        return hit
+
+
+# above this many distinct keys, stop collecting the dictionary to the driver
+MAX_BROADCAST_KEYS = 20_000_000
+
+
+def broadcast_alias_keys(
+    spark: SparkSession,
+    aliases: DataFrame,
+    max_broadcast_keys: int = MAX_BROADCAST_KEYS,
+    spill_dir: str | None = None,
+):
     """Ship the alias dictionary to executors once as a first-token-indexed
     AliasIndex (matcher probes two sets per token instead of joining n-grams).
-    At UMLS scale (~16M alias keys) this is a few hundred MB — still broadcast
-    territory; beyond that, swap for a bloom-filter pre-pass + join."""
+    At UMLS scale (~16M alias keys) this is a few hundred MB — broadcast
+    territory. Beyond `max_broadcast_keys`, the driver never materializes the
+    dictionary: the distinct keys are spilled to a single parquet side-file
+    (executor-written) and workers build the index themselves
+    (FileBackedAliasIndex) — the one driver-side collect in the hot path is
+    gone exactly when it would hurt. On a real cluster pass `spill_dir` on
+    SHARED storage (HDFS/S3 fuse mount); the default tempdir is correct only
+    for local mode."""
     from ..core.patterns import AliasIndex
 
-    keys = frozenset(r[0] for r in aliases.select("alias_key").distinct().collect())
-    idx = AliasIndex(keys)
+    distinct = aliases.select("alias_key").distinct()
+    # limit(max+1) detects overflow while shipping at most max+1 rows
+    sample = distinct.limit(max_broadcast_keys + 1).collect()
+    if len(sample) > max_broadcast_keys:
+        import os
+        import tempfile
+        import uuid
+
+        base = spill_dir or os.path.join(tempfile.gettempdir(), "kg_alias_spill")
+        os.makedirs(base, exist_ok=True)
+        out_dir = os.path.join(base, uuid.uuid4().hex[:12])
+        distinct.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        part = next(
+            os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet")
+        )
+        return FileBackedAliasIndex(part)
+    idx = AliasIndex(frozenset(r[0] for r in sample))
     try:
         return spark.sparkContext.broadcast(idx)
     except Exception:  # Spark Connect: no SparkContext on the client

@@ -47,6 +47,59 @@ def link_questions(
     )
 
 
+def neighborhood(kg_edge_stats: DataFrame, seeds: DataFrame, hops: int = 1, k: int = 50) -> DataFrame:
+    """Per-seed subgraph fetch over the deduplicated edge view (the `kg query
+    neighbors` CLI surface; reference analog: the retriever's per-query
+    evidence fan-in, rag2-retriever/main.py:119-167).
+
+    seeds(seed_cui) -> (seed_cui, hop, subj_cui, pred, obj_cui, n_evidence,
+    rank): hop 1 = edges incident to the seed, hop 2 = edges incident to the
+    1-hop frontier; an edge reachable at both keeps hop 1. Ranked per seed by
+    (hop asc, n_evidence desc, endpoint tie-break), top-k per seed. Seeds are
+    broadcast (query-sized); the frontier join is left unhinted — AQE
+    broadcasts it while small and shuffles on cui when a hub seed explodes
+    the frontier."""
+    e = kg_edge_stats.select("subj_cui", "pred", "obj_cui", "n_evidence")
+    s = F.broadcast(seeds.select("seed_cui").distinct())
+    h1 = (
+        e.join(s, e.subj_cui == s.seed_cui)
+        .unionByName(e.join(s, e.obj_cui == s.seed_cui))
+        .select("seed_cui", "subj_cui", "pred", "obj_cui", "n_evidence")
+        .distinct()
+        .withColumn("hop", F.lit(1))
+    )
+    out = h1
+    if hops >= 2:
+        frontier = (
+            h1.select("seed_cui", F.col("subj_cui").alias("cui"))
+            .unionByName(h1.select("seed_cui", F.col("obj_cui").alias("cui")))
+            .filter(F.col("cui") != F.col("seed_cui"))
+            .distinct()
+        )
+        h2 = (
+            e.join(frontier, e.subj_cui == frontier.cui)
+            .unionByName(e.join(frontier, e.obj_cui == frontier.cui))
+            .select("seed_cui", "subj_cui", "pred", "obj_cui", "n_evidence")
+            .distinct()
+            .withColumn("hop", F.lit(2))
+        )
+        out = (
+            h1.unionByName(h2)
+            .groupBy("seed_cui", "subj_cui", "pred", "obj_cui", "n_evidence")
+            .agg(F.min("hop").alias("hop"))
+        )
+    w = Window.partitionBy("seed_cui").orderBy(
+        F.col("hop").asc(), F.col("n_evidence").desc(),
+        "subj_cui", "pred", "obj_cui",
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("seed_cui", F.col("hop").cast("int").alias("hop"),
+                "subj_cui", "pred", "obj_cui", "n_evidence", "rank")
+    )
+
+
 def retrieve_evidence(
     question_links: DataFrame,
     kg_edge_stats: DataFrame,

@@ -88,3 +88,45 @@ def test_hot_entity_skew_bounded(spark, fixture_dir, tables):
     )
     # the hottest CUI must be spread across many salt buckets (>= 8 of 16)
     assert salted_counts["n_buckets"] >= 8, salted_counts
+
+
+def test_kg_query_cli_smoke(spark, fixture_dir, tmp_path, capsys, monkeypatch):
+    """tools/kg_query.py end-to-end: build a small KG to disk, then drive both
+    CLI subcommands in-process (get_spark reuses the live session)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import kg_query
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    aliases_path = f"{fixture_dir}/concept_aliases.parquet"
+    aliases = spark.read.parquet(aliases_path)
+    kg = build_kg(spark, transcripts, aliases)
+    out = str(tmp_path / "kg_out")
+    kg.kg_edge_stats.write.parquet(os.path.join(out, "kg_edge_stats"))
+
+    # pick a real CUI from the graph as the seed
+    seed = kg.kg_edge_stats.select("subj_cui").first()[0]
+    rc = kg_query.main(["neighbors", "--kg", out, "--hops", "2", "-k", "5", seed])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(r["seed_cui"] == seed for r in lines)
+    assert [r["rank"] for r in lines] == list(range(1, len(lines) + 1))
+
+    # ask: use a surface string that links (any alias from the dictionary)
+    alias = aliases.select("alias").first()[0]
+    rc = kg_query.main(
+        ["ask", "--kg", out, "--aliases", aliases_path, "-k", "3",
+         f"what about {alias}?"]
+    )
+    assert rc == 0
+    out_lines = capsys.readouterr().out.strip()
+    # a question whose entity has no edges may legitimately return nothing;
+    # the contract is exit 0 + valid JSON lines
+    for l in out_lines.splitlines():
+        if l:
+            json.loads(l)

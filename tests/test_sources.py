@@ -51,3 +51,103 @@ def test_json_array_scan(spark, tmp_path):
     df = read_json_array(spark, str(p))
     rows = sorted((r["a"], r["b"]) for r in df.collect())
     assert rows == [(1, "x"), (2, "y")]
+
+
+# --- Iceberg-branch contract (catalog mocked: the jar is absent in this
+# container, but the branch's Python — naming, call chains, partitionedBy
+# argument construction — must not be dead code) ---------------------------
+
+
+class _Recorder:
+    def __init__(self, calls, name):
+        self._calls = calls
+        self._name = name
+
+    def __call__(self, *a, **k):
+        self._calls.append((self._name, a))
+        return self
+
+    def __getattr__(self, attr):
+        return _Recorder(self._calls, f"{self._name}.{attr}")
+
+
+def test_tableio_iceberg_branch_contract(spark, tmp_path):
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path), catalog="cat")
+    io.iceberg = True  # force the branch; catalog surfaces are recorded fakes
+
+    calls = []
+    df = spark.range(3).selectExpr("id", "id % 2 AS p")
+
+    class _FakeDF:
+        def writeTo(self, name):
+            calls.append(("writeTo", (name,)))
+            return _Recorder(calls, "w")
+
+    io.replace(_FakeDF(), "edges", partition_by=["p"])
+    assert calls[0] == ("writeTo", ("cat.db.edges",))
+    assert any(n.endswith("partitionedBy") for n, _ in calls[1:]), calls
+    assert any(n.endswith("createOrReplace") for n, _ in calls[1:]), calls
+
+    calls.clear()
+    io.append(_FakeDF(), "edges")
+    assert calls[0] == ("writeTo", ("cat.db.edges",))
+    assert any(n.endswith("append") for n, _ in calls[1:]), calls
+
+    class _FakeCatalog:
+        def tableExists(self, name):
+            calls.append(("tableExists", (name,)))
+            return True
+
+    class _FakeReader:
+        def table(self, name):
+            calls.append(("read.table", (name,)))
+            return df
+
+    class _FakeSpark:
+        catalog = _FakeCatalog()
+        read = _FakeReader()
+
+    io.spark = _FakeSpark()
+    calls.clear()
+    assert io.exists("edges") is True
+    assert calls == [("tableExists", ("cat.db.edges",))]
+    got = io.read("edges")
+    assert got is df and ("read.table", ("cat.db.edges",)) in calls
+
+    # partitionedBy builds real Column objects from the live session
+    io2 = TableIO(spark, str(tmp_path))
+    assert io2.iceberg is False  # probe correctly reports the jar absent
+
+
+def test_alias_broadcast_file_backed_escape_hatch(spark, fixture_dir, tmp_path):
+    """Above max_broadcast_keys the dictionary never rides the driver: the
+    index is built per-worker from an executor-written parquet side-file, and
+    the extraction output is IDENTICAL to the broadcast path."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.extraction import (
+        extract_all_df,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import (
+        FileBackedAliasIndex,
+        broadcast_alias_keys,
+    )
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet").limit(200)
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+
+    bc = broadcast_alias_keys(spark, aliases)
+    fb = broadcast_alias_keys(
+        spark, aliases, max_broadcast_keys=3, spill_dir=str(tmp_path)
+    )
+    assert isinstance(fb, FileBackedAliasIndex)
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "kind", "mention_idx",
+            "surface", "alias_key", "subj_key", "pred", "obj_key"]
+    a = extract_all_df(transcripts, bc).select(cols).toPandas()
+    b = extract_all_df(transcripts, fb).select(cols).toPandas()
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
