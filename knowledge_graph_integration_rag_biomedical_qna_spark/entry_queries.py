@@ -1746,6 +1746,45 @@ def q19_disjunctive_predicates(spark, sf_dir):
     )
 
 
+@q(
+    "cot_input_dispatch",
+    """
+    WITH payload AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN '{"model_output":"' || event_type || '_cot"}'
+                  ELSE props END AS props,
+             event_type
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_extract_string(props, '$.model_output') IS NOT NULL
+                THEN 'model_output' ELSE 'raw' END AS input_kind,
+           coalesce(json_extract_string(props, '$.model_output'),
+                    json_extract_string(props, '$.k'),
+                    event_type) AS input_text
+    FROM payload
+    """,
+)
+def cot_input_dispatch(spark, sf_dir):
+    """Reference's CoT input-type dispatch (rag2-retriever/main.py:88-98):
+    schema-on-read probe over a semi-structured payload — rows carrying a
+    model_output field use it, the rest fall back to the raw field chain.
+    Even event_ids get a synthetic model_output payload so BOTH branches of
+    the dispatch are exercised and oracle-checked."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"model_output":"'), F.col("event_type"), F.lit('_cot"}')),
+    ).otherwise(F.col("props"))
+    mo = F.get_json_object(payload, "$.model_output")
+    return ev.select(
+        "event_id",
+        F.when(mo.isNotNull(), F.lit("model_output")).otherwise(F.lit("raw")).alias("input_kind"),
+        F.coalesce(mo, F.get_json_object(payload, "$.k"), F.col("event_type")).alias("input_text"),
+    )
+
+
 @q("approx_sketches", None)
 def approx_sketches(spark, sf_dir):
     """Sketch aggregates: HLL distinct + approximate quantiles per group.
