@@ -45,6 +45,25 @@ def canonicalize_nodes(resolved_mentions: DataFrame, salt_buckets: int = CANON_S
     )
 
 
+def canonicalize_node_stats(mention_stats: DataFrame, resolution: DataFrame) -> DataFrame:
+    """kg_nodes from VOCABULARY-SIZED per-(alias_key, surface) mention counts
+    — value-identical to `canonicalize_nodes` over row-level resolved
+    mentions (counts sum; surface sets union), but the transcript-sized work
+    already collapsed in the map-side-combined count aggregate, so no salting
+    is needed here and no second pass over the mention rows happens at all.
+    This is the 10^12-turn path used by plans.pipeline.build_kg;
+    `canonicalize_nodes` remains the row-level operator (checkpointed
+    per-bucket partial aggregates, tests)."""
+    joined = mention_stats.join(
+        F.broadcast(resolution.select("alias_key", "surface", "cui")),
+        ["alias_key", "surface"],
+    )
+    return joined.groupBy("cui").agg(
+        F.array_sort(F.collect_set("surface")).alias("surfaces"),
+        F.sum("n_mentions").alias("mention_count"),
+    )
+
+
 def aggregate_edges(resolved_triples: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """kg_edge_stats(subj_cui, pred, obj_cui, n_evidence, avg_confidence,
     n_convs) — the deduplicated graph view over evidence-level edges.

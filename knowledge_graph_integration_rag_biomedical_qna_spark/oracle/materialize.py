@@ -21,7 +21,6 @@ Reference analog: the gold-answer JSON the reference compares against
 
 from __future__ import annotations
 
-import math
 import os
 import re
 import zlib

@@ -4,13 +4,16 @@ Shuffle budget of the whole plan (the thing that decides 100 TB viability):
 
   1 shuffle   stage [1] window over (conv_id, turn_idx)          [data-sized]
   0 shuffles  stages [2]-[3] mapInPandas (inherit partitioning)
-  1 tiny      stage [4]-[5] distinct over (alias_key, surface)   [vocab-sized]
+  1 shuffle   mention_stats groupBy(alias_key, surface)          [count payload;
+              map-side combine absorbs hot-entity skew -> vocab-sized output,
+              feeds BOTH candidate generation and node canonicalization]
   0 shuffles  resolution joins (resolution table is broadcast)
-  2 shuffles  stage [6] salted two-phase groupBy                 [mention-count-sized,
-              second phase <= |CUI| x S rows]
+  1 tiny      stage [6] groupBy(cui) over vocab-sized stats      [<= |vocab| rows]
   1 shuffle   edge-stats groupBy (counter payload, map-side combine)
 
-Everything transcript-sized shuffles at most once.
+Everything transcript-sized shuffles at most once; after the mention_stats
+aggregate no transcript-sized table is read twice (the salted row-level
+canonicalize remains in operators/ for the checkpointed per-bucket runner).
 """
 
 from __future__ import annotations
@@ -19,14 +22,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.canonicalize import aggregate_edges, canonicalize_nodes
+from ..operators.canonicalize import aggregate_edges, canonicalize_node_stats
 from ..operators.extraction import extract_all_df, mentions_view, triples_view
-from ..operators.linking import (
-    candidate_table,
-    resolution_table,
-    resolve_mentions,
-    resolve_triples,
-)
+from ..operators.linking import candidate_table, resolution_table, resolve_triples
 from ..operators.turn_assembly import assemble_turns
 
 
@@ -41,9 +39,12 @@ class KGResult:
     kg_edges: DataFrame      # evidence-level CUI-resolved triples (provenance kept)
     kg_edge_stats: DataFrame  # deduplicated graph edges with counters
     kg_nodes: DataFrame
+    mention_stats: DataFrame | None = None  # vocab-sized (alias_key, surface, n)
 
     def unpersist(self) -> None:
-        for df in (self.unified, self.resolution):
+        for df in (self.unified, self.resolution, self.mention_stats):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -153,13 +154,16 @@ def build_kg(
 ) -> KGResult:
     """Compose stages [1]-[6].
 
-    `persist=True` caches the turn table and the two extraction outputs
-    (MEMORY_AND_DISK): both are consumed by multiple downstream branches, and
-    without a cache Catalyst re-executes the pandas-UDF extraction once per
-    consuming subtree (no cross-branch CSE). For jobs too large to cache,
-    use plans.checkpoint.ResumableKGRun, which materializes stage boundaries
-    to storage instead (the reference's JSON stage files, done right).
+    `persist=True` caches the unified extraction output plus the two
+    vocabulary-sized tables (mention_stats, resolution): without a cache
+    Catalyst re-executes the pandas-UDF extraction once per consuming subtree
+    (no cross-branch CSE) — measured 3 extraction passes instead of 1. For
+    jobs too large to cache, use plans.checkpoint.ResumableKGRun, which
+    materializes stage boundaries to storage instead (the reference's JSON
+    stage files, done right).
     """
+    from pyspark.sql import functions as F
+
     turns = assemble_turns(transcripts)
     keys_bc = broadcast_alias_keys(spark, aliases)
     # one Arrow pass over the turn text produces BOTH mentions and triples;
@@ -170,17 +174,23 @@ def build_kg(
     mentions = mentions_view(unified)
     raw_triples = triples_view(unified)
 
-    # resolution needs every surface the pipeline saw; triple endpoints are
-    # detected mentions by construction, so mention surfaces cover them.
-    surf = mentions.select("alias_key", "surface")
-    candidates = candidate_table(surf, aliases)
+    # ONE transcript-sized aggregate collapses mentions to vocabulary-sized
+    # (alias_key, surface, n) — map-side combine absorbs hot-entity skew.
+    # It feeds BOTH candidate generation and node canonicalization, so the
+    # mention rows are never re-read after this pass.
+    mention_stats = mentions.groupBy("alias_key", "surface").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    if persist:
+        mention_stats = mention_stats.persist()
+
+    candidates = candidate_table(mention_stats.select("alias_key", "surface"), aliases)
     resolution = resolution_table(candidates)
     if persist:
         resolution = resolution.persist()
 
-    resolved_mentions = resolve_mentions(mentions, resolution)
     kg_edges = resolve_triples(raw_triples, resolution)
-    kg_nodes = canonicalize_nodes(resolved_mentions)
+    kg_nodes = canonicalize_node_stats(mention_stats, resolution)
     kg_edge_stats = aggregate_edges(kg_edges)
     return KGResult(
         turns=turns,
@@ -192,4 +202,5 @@ def build_kg(
         kg_edges=kg_edges,
         kg_edge_stats=kg_edge_stats,
         kg_nodes=kg_nodes,
+        mention_stats=mention_stats,
     )

