@@ -866,6 +866,44 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+      GROUP BY sa.id, sb.id
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT word-n-gram Jaccard near-dup pairs: inverted-index join on
+    shared shingles (a pair is scored iff it shares >= 1 shingle, which any
+    pair at jaccard >= threshold > 0 must), exact Jaccard, threshold filter.
+    This is the dedup family's exact baseline; the MinHash/SimHash variants
+    are its sub-quadratic approximations — at 100 TB use those (a globally
+    hot shingle makes this join quadratic in its document frequency)."""
+    from .operators.dedup import jaccard_verify, with_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = with_shingles(docs, n=3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold=0.5)
+
+
+@q(
     "dedup_minhash_pairs_fast",
     f"""
     WITH {_SHINGLE_CTE},
