@@ -1245,6 +1245,17 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+@_qm("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: decode metadata -> explode frame indices
+    0..n_frames-1 stepping every_n (sequence + explode, pure column ops) —
+    the multimodal pipeline's per-frame fan-out shape."""
+    from .operators.multimodal import decode_media, documents_as_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(decode_media(documents_as_media(docs), fake=True), every_n=8)
+
+
 @q(
     "prune_threshold_rank",
     """

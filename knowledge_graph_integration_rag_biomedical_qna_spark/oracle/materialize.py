@@ -286,6 +286,20 @@ def multimodal_decode_pdf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def multimodal_frame_sample_pdf(sf_dir: str, every_n: int = 8) -> pd.DataFrame:
+    dec = multimodal_decode_pdf(sf_dir)
+    vid = dec[dec["media_type"] == "video"]
+    rows = []
+    for r in vid.itertuples():
+        for f in range(0, int(r.n_frames), every_n):
+            rows.append((int(r.media_id), f, int(r.width), int(r.height)))
+    out = pd.DataFrame(rows, columns=["media_id", "frame_idx", "width", "height"])
+    out["frame_idx"] = out["frame_idx"].astype("int32")
+    out["width"] = out["width"].astype("Int32")
+    out["height"] = out["height"].astype("Int32")
+    return out
+
+
 _TRIPLE_PAT = re.compile(r"(\w+) (join|merge|scan|filter|sort) (\w+)")
 
 
@@ -337,6 +351,7 @@ ORACLES: dict[str, callable] = {
     "kg_neighborhood": kg_neighborhood_pdf,
     "dedup_simhash": dedup_simhash_pdf,
     "multimodal_decode": multimodal_decode_pdf,
+    "multimodal_frame_sample": multimodal_frame_sample_pdf,
     "embed_link_score": embed_link_score_pdf,
 }
 
