@@ -54,6 +54,7 @@ def _qm(name: str):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # oracle-free variant (e.g. the sf0.001 smoke)
         REGISTRY[name] = (wrapped, _mat.oracle_read_sql(name))
         return wrapped
 
