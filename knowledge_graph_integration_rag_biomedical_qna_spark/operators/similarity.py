@@ -67,13 +67,27 @@ def cosine_topk(
 
 def build_ivf_index(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    train_sample: int | None = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: centroids seeded from the n lowest-id vectors,
-    refined with one Lloyd iteration (mean of assigned vectors), then each
-    vector assigned to its nearest centroid. Returns (assignments, centroids).
+    """Deterministic sampled-k-means IVF index (FAISS IVF analog,
+    rag2-retriever/retrieve.py:19-59: nlist=4096, train sample <= 200k):
+
+    - seeds: the `n_centroids` vectors ranked first by md5(vec_id) — a
+      deterministic uniform draw, NOT the lowest ids (id order often
+      correlates with content, which collapses seed diversity);
+    - `lloyd_iters` Lloyd refinements, each computing element-wise centroid
+      means over a deterministic md5-ranked TRAINING SAMPLE of at most
+      `train_sample` vectors (the full corpus never shuffles for training —
+      at 10^12 rows the sample is what makes k-means feasible, exactly the
+      reference's <=200k cap);
+    - final assignment of EVERY vector to its nearest centroid (one broadcast
+      of the centroid table, no shuffle of the corpus).
+    - `n_centroids=None` sizes the list count as ~sqrt(n) (FAISS guidance),
+      floor 16 (costs one count()).
 
     assignments: (vec_id, v array<double>, nrm, centroid_id)
     centroids:   (centroid_id, c array<double>)
@@ -81,13 +95,26 @@ def build_ivf_index(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    seeds = base.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("c")
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, int(math.sqrt(base.count())))
+    rank_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = (
+        base.withColumn("_r", rank_key)
+        .orderBy("_r", "vec_id")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_r", "vec_id")) - 1)
+        .select("centroid_id", F.col("v").alias("c"))
     )
-    seeds = seeds.withColumn(
-        "centroid_id",
-        F.row_number().over(Window.orderBy("seed_id")) - 1,
-    ).select("centroid_id", "c")
+    train = base
+    if train_sample is not None:
+        train = (
+            base.withColumn("_r", rank_key)
+            .orderBy("_r", "vec_id")
+            .limit(train_sample)
+            .drop("_r")
+        )
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -105,17 +132,24 @@ def build_ivf_index(
             .select("vec_id", "v", "centroid_id")
         )
 
-    a0 = assign(base, seeds)
-    # one Lloyd step: element-wise mean per centroid (posexplode + groupBy)
-    dims = a0.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-    means = (
-        dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("c"))
-    )
-    a1 = assign(base, means).withColumn("nrm", _norm(F.col("v")))
-    return a1, means
+    cents = seeds
+    for _ in range(max(lloyd_iters, 0)):
+        a = assign(train, cents)
+        # Lloyd step: element-wise mean per centroid (posexplode + groupBy);
+        # empty centroids keep their previous position (left join + coalesce)
+        dims = a.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+        means = (
+            dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("new_c"))
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("new_c", "c").alias("c"))
+        )
+    a_final = assign(base, cents).withColumn("nrm", _norm(F.col("v")))
+    return a_final, cents
 
 
 def ivf_topk(

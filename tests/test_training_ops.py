@@ -300,3 +300,34 @@ def test_lang_id_tie_breaks_ascending(spark):
     )
     got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
     assert got == {1: "de", 2: "es", 3: "und", 4: "en"}, got
+
+
+def test_ivf_sampled_kmeans_recall_and_determinism(spark, emb):
+    """Sampled-training IVF (train_sample < corpus, 2 Lloyd iterations,
+    md5-ranked seeds): recall vs brute force holds, every vector gets exactly
+    one centroid, and two builds are identical (fully deterministic)."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    a1, c1 = build_ivf_index(emb, n_centroids=8, lloyd_iters=2, train_sample=200)
+    a2, c2 = build_ivf_index(emb, n_centroids=8, lloyd_iters=2, train_sample=200)
+    n = emb.count()
+    assert a1.count() == n  # every vector assigned exactly once
+    p1 = a1.select("vec_id", "centroid_id").toPandas().sort_values("vec_id").reset_index(drop=True)
+    p2 = a2.select("vec_id", "centroid_id").toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert p1.equals(p2)
+
+    approx = ivf_topk(a1, c1, queries, k=10, nprobe=4).toPandas()
+    hits = 0
+    for q in range(10):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / 100 >= 0.5, hits / 100
