@@ -94,3 +94,28 @@ def test_cosine_col(spark):
     j = left.join(right, "id").select("id", F.round(cosine_col("ea", "eb"), 4).alias("cos")).orderBy("id").collect()
     assert abs(j[0]["cos"] - 1.0) < 1e-3
     assert j[1]["cos"] < 0.9
+
+
+def test_link_scoring_runs_on_vocabulary_not_mentions(spark, fixture_dir):
+    """INVARIANT: the per-row Python in _link_score_udf is acceptable ONLY
+    because candidate_table dedups to distinct (alias_key, surface) first —
+    scoring cost is vocabulary-sized however many billions of mention rows
+    repeat a surface. Feed 50x-duplicated mentions and require the scored
+    candidate row count to equal the DISTINCT pair count times matching
+    aliases (i.e. no per-mention fan-out reaches the UDF)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.linking import (
+        candidate_table,
+    )
+
+    aliases = spark.read.parquet(f"{fixture_dir}/concept_aliases.parquet")
+    pairs = aliases.select("alias_key", F.col("alias").alias("surface")).limit(20)
+    dup = pairs.crossJoin(spark.range(50)).select("alias_key", "surface")
+    got = candidate_table(dup, aliases)
+    # row count must match the run on the already-distinct input exactly
+    want = candidate_table(pairs, aliases)
+    assert got.count() == want.count()
+    # and the plan dedups BEFORE the join+score (an aggregate under the join)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
