@@ -1499,6 +1499,45 @@ def kg_question_retrieval(spark, sf_dir):
     return retrieve_evidence(links, kg.kg_edge_stats, k=5)
 
 
+@_qm("kg_streaming_ingest")
+def kg_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming ingest of the SAME synthesized transcripts
+    (readStream file source, watermark + keyed dedup, foreachBatch extraction
+    + linking, availableNow trigger) — the resulting edge set must equal the
+    BATCH pipeline edge-for-edge, because every stage is per-turn stateless
+    and per-(alias_key,surface) scoring is a pure function. Oracle: the
+    batch pipeline's independent pandas result. Reference analog: the
+    checkpoint-per-query incremental loop (provence/provence.py:113-167)
+    done as a stream."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .plans.pipeline import broadcast_alias_keys
+    from .sources.synth import synth_aliases, synth_transcripts
+    from .streaming.ingest import start_kg_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    aliases = synth_aliases(spark)
+    work = os.path.join(tempfile.gettempdir(), "kg_stream_q", uuid.uuid4().hex[:12])
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    # several input files -> several micro-batches under maxFilesPerTrigger
+    synth_transcripts(docs).repartition(8).write.parquet(in_dir)
+    keys_bc = broadcast_alias_keys(spark, aliases)
+    q_ = start_kg_stream(spark, in_dir, out_dir, aliases, keys_bc,
+                         trigger_available_now=True)
+    q_.awaitTermination()
+    edges = spark.read.parquet(os.path.join(out_dir, "kg_edges_stream")).select(
+        "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"
+    )
+    out = edges.cache()
+    out.count()  # materialize before the temp input can be cleaned up
+    shutil.rmtree(in_dir, ignore_errors=True)
+    return out
+
+
 @_qm("kg_neighborhood")
 def kg_neighborhood(spark, sf_dir):
     """`kg query neighbors` surface: per-seed ranked 2-hop subgraph over the

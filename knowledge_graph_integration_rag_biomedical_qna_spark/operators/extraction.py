@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..core.patterns import detect_mentions, extract_triples
 from ..core.text import split_sentences
 
 MENTIONS_SCHEMA = T.StructType(
@@ -58,40 +57,32 @@ _TRIPLE_COLS = list(RAW_TRIPLES_SCHEMA.fieldNames())
 
 def detect_mentions_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     """mentions(conv_id, turn_idx, sent_idx, mention_idx, surface, alias_key,
-    tok_start, tok_end) — one row per dictionary hit."""
+    tok_start, tok_end) — one row per dictionary hit. Runs the vectorized
+    kernel and projects the mention rows inside the same Arrow pass."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.vectorized import extract_unified_pdf
+
         keys = alias_keys_bc.value
         for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                for si, sent in enumerate(split_sentences(text)):
-                    for mi, m in enumerate(detect_mentions(sent, keys)):
-                        rows.append(
-                            (conv_id, turn_idx, si, mi, m.surface, m.alias_key,
-                             m.tok_start, m.tok_end)
-                        )
-            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+            u = extract_unified_pdf(pdf, keys)
+            yield u[u["kind"] == "m"][_MENTION_COLS]
 
     return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, MENTIONS_SCHEMA)
 
 
 def extract_triples_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     """raw_triples(conv_id, turn_idx, sent_idx, subj/pred/obj surfaces+keys,
-    confidence) — unlinked SVO pattern hits."""
+    confidence) — unlinked SVO pattern hits (vectorized kernel, triple rows
+    projected in-pass)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.vectorized import extract_unified_pdf
+
         keys = alias_keys_bc.value
         for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                for si, sent in enumerate(split_sentences(text)):
-                    for t in extract_triples(sent, keys):
-                        rows.append(
-                            (conv_id, turn_idx, si, t.subj_surface, t.subj_key,
-                             t.pred, t.obj_surface, t.obj_key, t.confidence)
-                        )
-            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+            u = extract_unified_pdf(pdf, keys)
+            yield u[u["kind"] == "t"][_TRIPLE_COLS]
 
     return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, RAW_TRIPLES_SCHEMA)
 

@@ -344,6 +344,9 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
 
 ORACLES: dict[str, callable] = {
     "kg_pipeline_full": kg_pipeline_full_pdf,
+    # streaming ingest must equal the batch pipeline edge-for-edge (per-turn
+    # stateless stages => micro-batch boundaries cannot change the result)
+    "kg_streaming_ingest": kg_pipeline_full_pdf,
     "kg_nodes_full": kg_nodes_full_pdf,
     "kg_edge_stats_full": kg_edge_stats_full_pdf,
     "kg_two_hop_paths": kg_two_hop_paths_pdf,
