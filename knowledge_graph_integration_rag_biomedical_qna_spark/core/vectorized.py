@@ -209,6 +209,80 @@ def _gather_strings(pos: np.ndarray, span: np.ndarray, masks_desc, pc) -> np.nda
     return out
 
 
+# byte classification LUTs for the zero-regex tokenizer (ASCII input only —
+# non-ASCII rows take the slow path before we get here)
+_LUT_CONT = np.zeros(256, dtype=bool)   # token continuation: [A-Za-z0-9'-]
+_LUT_START = np.zeros(256, dtype=bool)  # token start: [A-Za-z0-9]
+for _c in range(256):
+    ch = chr(_c)
+    if ch.isascii() and (ch.isalnum()):
+        _LUT_CONT[_c] = True
+        _LUT_START[_c] = True
+_LUT_CONT[ord("'")] = True
+_LUT_CONT[ord("-")] = True
+_LUT_LOWER = np.arange(256, dtype=np.uint8)
+_LUT_LOWER[ord("A") : ord("Z") + 1] += 32
+
+
+def _tokenize_arrow(sent_arr, pa):
+    """Zero-regex tokenizer over the Arrow string buffer: numpy byte-class
+    masks find maximal [A-Za-z0-9'-] runs (split at sentence boundaries); a
+    token is each run's suffix from its first alphanumeric — exactly
+    re.finditer(text._TOKEN). Returns (low arrow array, sent_of, pos_in_sent,
+    abs_start, abs_end, data bytes view) with ABSOLUTE char offsets into the
+    shared sentence buffer (ASCII: bytes == chars), or None when buffer
+    assumptions don't hold (caller falls back to the RE2 path)."""
+    n = len(sent_arr)
+    if sent_arr.type != pa.string() or sent_arr.null_count:
+        return None
+    bufs = sent_arr.buffers()
+    if bufs[1] is None or bufs[2] is None:
+        return None
+    off = np.frombuffer(bufs[1], dtype=np.int32)[sent_arr.offset : sent_arr.offset + n + 1]
+    data_all = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    d = data_all[lo:hi]
+    rel = (off - lo).astype(np.int64)
+    if hi == lo:
+        return "EMPTY"  # no bytes at all
+    C = _LUT_CONT[d]
+    S = _LUT_START[d]
+    at_start = np.zeros(len(d), dtype=bool)
+    at_start[rel[:-1][rel[:-1] < len(d)]] = True
+    prev_c = np.r_[False, C[:-1]]
+    run_start = C & (~prev_c | at_start)
+    run_id = np.cumsum(run_start) - 1  # valid where C
+    next_c = np.r_[C[1:], False]
+    next_start = np.r_[at_start[1:], True]
+    run_end_mask = C & (~next_c | next_start)
+    run_end_pos = np.flatnonzero(run_end_mask)  # one per run, run-id order
+    s_pos = np.flatnonzero(S)                   # S implies C
+    if s_pos.size == 0:
+        return "EMPTY"
+    rid = run_id[s_pos]
+    uniq_rid, first_ix = np.unique(rid, return_index=True)
+    tok_start = s_pos[first_ix]                 # first alnum in each token run
+    tok_end = run_end_pos[uniq_rid] + 1
+    total = tok_start.size
+    sent_of = np.searchsorted(rel, tok_start, side="right") - 1
+    first = np.flatnonzero(np.r_[True, sent_of[1:] != sent_of[:-1]])
+    cnt = np.diff(np.r_[first, total])
+    pos_in_sent = np.arange(total) - np.repeat(first, cnt)
+    # lowered token text as ONE gathered arrow array (C-speed membership probes)
+    lens = (tok_end - tok_start).astype(np.int64)
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    gather = np.arange(int(out_off[-1]), dtype=np.int64) + np.repeat(
+        tok_start - out_off[:-1], lens
+    )
+    low_buf = _LUT_LOWER[d[gather]]
+    low = pa.Array.from_buffers(
+        pa.string(), total,
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(low_buf.tobytes())],
+    )
+    return low, sent_of.astype(np.int64), pos_in_sent, tok_start, tok_end, d
+
+
 def _extract_slow(pdf: pd.DataFrame, idx: AliasIndex) -> pd.DataFrame:
     """Exact per-row path for non-ASCII / sentinel-bearing rows (rare)."""
     conv, ti, si_l, kind, midx = [], [], [], [], []
@@ -315,23 +389,34 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     grp_len = np.diff(np.r_[grp_start, nsent])
     sent_idx_arr = np.arange(nsent) - np.repeat(grp_start, grp_len)
 
-    # --- tokens: split on non-token chars, strip leading '/-, drop empties ---
-    fields = pc.split_pattern_regex(sent_arr, pattern=_NONTOKEN_PAT)
-    f_off = fields.offsets.to_numpy()
-    tok_raw = pc.replace_substring_regex(
-        fields.flatten(), pattern=_LEAD_PUNCT_PAT, replacement=""
-    )
-    nz_idx = np.flatnonzero(pc.greater(pc.utf8_length(tok_raw), 0).to_numpy(zero_copy_only=False))
-    total = nz_idx.size
-    if total == 0:
+    # --- tokens: zero-regex byte-LUT scan over the Arrow buffer (falls back
+    # to the RE2 split pipeline if buffer assumptions don't hold) ---
+    tk = _tokenize_arrow(sent_arr, pa)
+    if tk == "EMPTY":
         return _empty_unified()
-    tok = pc.take(tok_raw, pa.array(nz_idx))
-    sent_of = np.repeat(np.arange(nsent), np.diff(f_off))[nz_idx]
-    first = np.flatnonzero(np.r_[True, sent_of[1:] != sent_of[:-1]])
-    cnt = np.diff(np.r_[first, total])
-    pos_in_sent = np.arange(total) - np.repeat(first, cnt)
+    if tk is not None:
+        low, sent_of, pos_in_sent, tok_abs_start, tok_abs_end, sent_bytes = tk
+        total = len(sent_of)
+    else:
+        fields = pc.split_pattern_regex(sent_arr, pattern=_NONTOKEN_PAT)
+        f_off = fields.offsets.to_numpy()
+        tok_raw = pc.replace_substring_regex(
+            fields.flatten(), pattern=_LEAD_PUNCT_PAT, replacement=""
+        )
+        nz_idx = np.flatnonzero(
+            pc.greater(pc.utf8_length(tok_raw), 0).to_numpy(zero_copy_only=False)
+        )
+        total = nz_idx.size
+        if total == 0:
+            return _empty_unified()
+        tok_orig = pc.take(tok_raw, pa.array(nz_idx))
+        low = pc.utf8_lower(tok_orig)
+        sent_of = np.repeat(np.arange(nsent), np.diff(f_off))[nz_idx]
+        first = np.flatnonzero(np.r_[True, sent_of[1:] != sent_of[:-1]])
+        cnt = np.diff(np.r_[first, total])
+        pos_in_sent = np.arange(total) - np.repeat(first, cnt)
+        tok_abs_start = tok_abs_end = sent_bytes = None
 
-    low = pc.utf8_lower(tok)
     norm = pc.replace_substring_regex(low, pattern=_TRAIL_PUNCT_PAT, replacement="")
 
     # --- greedy dictionary match (aliases on norm, predicates on low) ---
@@ -355,23 +440,33 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
         ment_midx = np.arange(n_m) - np.repeat(mg_start, mg_len)
         ment_key = _gather_strings(m_pos, m_span, alias_masks, pc)
         ment_surf = np.empty(n_m, dtype=object)
-        single = m_span == 1
-        if single.any():
-            ment_surf[single] = pc.take(tok, pa.array(m_pos[single])).to_pylist()
-        multi_i = np.flatnonzero(~single)
-        if multi_i.size:
-            sent_py: dict[int, str] = {}
-            toks_py: dict[int, list] = {}
-            for i in multi_i:
-                s = int(ment_sent[i])
-                toks = toks_py.get(s)
-                if toks is None:
-                    sent_py[s] = sent_arr[s].as_py()
-                    toks = tokenize(sent_py[s])
-                    toks_py[s] = toks
-                cs = toks[int(ment_ts[i])][1]
-                ce = toks[int(ment_te[i]) - 1][2]
-                ment_surf[i] = sent_py[s][cs:ce]
+        if sent_bytes is not None:
+            # absolute char offsets are free on the byte path: surface =
+            # sentence buffer slice from first token start to last token end
+            starts = tok_abs_start[m_pos]
+            ends = tok_abs_end[m_pos + m_span - 1]
+            buf = sent_bytes.tobytes()
+            ment_surf[:] = [
+                buf[a:b].decode("ascii") for a, b in zip(starts.tolist(), ends.tolist())
+            ]
+        else:
+            single = m_span == 1
+            if single.any():
+                ment_surf[single] = pc.take(tok_orig, pa.array(m_pos[single])).to_pylist()
+            multi_i = np.flatnonzero(~single)
+            if multi_i.size:
+                sent_py: dict[int, str] = {}
+                toks_py: dict[int, list] = {}
+                for i in multi_i:
+                    s = int(ment_sent[i])
+                    toks = toks_py.get(s)
+                    if toks is None:
+                        sent_py[s] = sent_arr[s].as_py()
+                        toks = tokenize(sent_py[s])
+                        toks_py[s] = toks
+                    cs = toks[int(ment_ts[i])][1]
+                    ce = toks[int(ment_te[i]) - 1][2]
+                    ment_surf[i] = sent_py[s][cs:ce]
     else:
         ment_midx = np.array([], dtype=np.int64)
         ment_key = np.array([], dtype=object)
