@@ -331,3 +331,44 @@ def test_ivf_sampled_kmeans_recall_and_determinism(spark, emb):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         hits += len(e & a)
     assert hits / 100 >= 0.5, hits / 100
+
+
+def test_simhash_python_oracle_matches_spark_on_tricky_text(spark):
+    """The dedup_simhash driver oracle is the pure-python crc32 pipeline in
+    oracle/materialize.py — pin bit-equality against the Spark column
+    implementation on casing/unicode/whitespace edge cases (a mismatch here
+    would fail the driver's hash gate on future testdata)."""
+    import pandas as pd
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import simhash
+
+    texts = [
+        "Plain ASCII text with MIXED Case tokens",
+        "  leading and trailing   whitespace  ",
+        "tabs\tand\nnewlines\r\nmix",
+        "unicode café naïve Über STRASSE",
+        "turkish I İstanbul i",
+        "emoji \U0001F600 between tokens",
+        "a",
+        "punct-only !!! ... ???",
+        "hyphen-ated and apostrophe's tokens--doubled",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    import re
+    import zlib
+
+    import numpy as np
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", str(t).lower().strip())
+        votes = np.zeros(32, dtype=np.int64)
+        for tok in toks:
+            h = zlib.crc32(tok.encode("utf-8"))
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(32) if votes[b] > 0)
+        assert got[i] == want, (i, t, got[i], want)
