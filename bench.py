@@ -85,7 +85,9 @@ def main() -> None:
             "turn_idx", "role", "text", "tool", "ts",
         )
     )
-    big.write.mode("overwrite").parquet("/tmp/bench_transcripts")
+    # many-file layout: a 1-file input would serialize the first shuffle's
+    # map side (one scan task) — real inputs at scale are always multi-file
+    big.repartition(64).write.mode("overwrite").parquet("/tmp/bench_transcripts")
     big_tr = spark.read.parquet("/tmp/bench_transcripts")
     n_turns = big_tr.count()
     aliases = synth_aliases(spark)
