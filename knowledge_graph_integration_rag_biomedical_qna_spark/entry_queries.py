@@ -1775,9 +1775,7 @@ _SYNTH_SQL_CTE = """
 """
 
 
-@q(
-    "kg_mention_detect_synth",
-    f"""
+_MENTION_SYNTH_SQL = f"""
     WITH {_SYNTH_SQL_CTE},
     tok AS (
       SELECT conv_id, turn_idx,
@@ -1789,8 +1787,10 @@ _SYNTH_SQL_CTE = """
     FROM tok
     WHERE lower(regexp_replace(regexp_replace(w, '^[^A-Za-z0-9]+', ''), '[^A-Za-z0-9]+$', ''))
           IN ('spark','customer','table','window','vector','column','batch','stream','data')
-    """,
-)
+    """
+
+
+@q("kg_mention_detect_synth", _MENTION_SYNTH_SQL)
 def kg_mention_detect_synth(spark, sf_dir):
     """Stage [2] SQL-checked: the mention multiset per turn from the pandas-UDF
     detector equals a per-token dictionary membership scan (exact because this
@@ -1806,6 +1806,25 @@ def kg_mention_detect_synth(spark, sf_dir):
     turns = assemble_turns(synth_transcripts(docs))
     keys_bc = broadcast_alias_keys(spark, aliases)
     return detect_mentions_df(turns, keys_bc).select("conv_id", "turn_idx", "alias_key")
+
+
+@q("kg_mention_detect_spill", _MENTION_SYNTH_SQL)
+def kg_mention_detect_spill(spark, sf_dir):
+    """The alias-dictionary FILE-BACKED escape hatch under the driver gate:
+    identical semantics to kg_mention_detect_synth, but max_broadcast_keys=1
+    forces the dictionary through the executor-written parquet side-file and
+    each python worker builds the AliasIndex itself (no driver collect) —
+    the >20M-key code path exercised end-to-end with a hash-checked oracle."""
+    from .operators.extraction import detect_mentions_df
+    from .operators.turn_assembly import assemble_turns
+    from .plans.pipeline import broadcast_alias_keys
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    aliases = synth_aliases(spark)
+    turns = assemble_turns(synth_transcripts(docs))
+    keys_fb = broadcast_alias_keys(spark, aliases, max_broadcast_keys=1)
+    return detect_mentions_df(turns, keys_fb).select("conv_id", "turn_idx", "alias_key")
 
 
 @q(
