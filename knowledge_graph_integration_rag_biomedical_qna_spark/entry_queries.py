@@ -1538,6 +1538,35 @@ def kg_streaming_ingest(spark, sf_dir):
     return out
 
 
+@_qm("kg_checkpointed_run")
+def kg_checkpointed_run(spark, sf_dir):
+    """The resumable checkpointed runner under the driver gate: bucket-group
+    materialization (atomic done markers, per-bucket lineage, salted node
+    partials) over the synthesized transcripts must produce EXACTLY the batch
+    pipeline's edge set — conversations never split across buckets and
+    linking is a pure per-(alias_key, surface) function. Oracle: the batch
+    pipeline's independent pandas result. Reference analog: the per-query
+    checkpoint/skip loop (provence/provence.py:113-167) as bucket commits."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.checkpoint import ResumableKGRun
+    from .sources.synth import synth_aliases, synth_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    out_dir = os.path.join(tempfile.gettempdir(), "kg_ckpt_q", uuid.uuid4().hex[:12])
+    run = ResumableKGRun(spark, out_dir, buckets=8, group_size=4)
+    summary = run.run(synth_transcripts(docs), synth_aliases(spark))
+    assert summary["complete"], summary
+    edges = spark.read.parquet(os.path.join(out_dir, "kg_edges")).select(
+        "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"
+    )
+    out = edges.cache()
+    out.count()
+    return out
+
+
 @_qm("kg_neighborhood")
 def kg_neighborhood(spark, sf_dir):
     """`kg query neighbors` surface: per-seed ranked 2-hop subgraph over the

@@ -347,6 +347,9 @@ ORACLES: dict[str, callable] = {
     # streaming ingest must equal the batch pipeline edge-for-edge (per-turn
     # stateless stages => micro-batch boundaries cannot change the result)
     "kg_streaming_ingest": kg_pipeline_full_pdf,
+    # ditto the checkpointed bucket-group runner: conversations never split
+    # across buckets and linking is a pure per-(alias_key,surface) function
+    "kg_checkpointed_run": kg_pipeline_full_pdf,
     "kg_nodes_full": kg_nodes_full_pdf,
     "kg_edge_stats_full": kg_edge_stats_full_pdf,
     "kg_two_hop_paths": kg_two_hop_paths_pdf,
