@@ -198,3 +198,42 @@ def test_vectorized_kernel_equals_row_path(texts):
     got = _norm_unified(extract_unified_pdf(pdf, idx))
     want = _norm_unified(row_path_unified_pdf(pdf, idx))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+ascii_sentence_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=150,
+).map(lambda s: " ".join(s.split()))  # ws-normalized, like post-split sentences
+
+
+@given(st.lists(ascii_sentence_st.filter(lambda s: len(s) > 1), min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_byte_tokenizer_equals_regex_tokenize(sents):
+    """_tokenize_arrow (numpy byte-LUT scan) must reproduce core.text.tokenize
+    exactly on every sentence: token strings (lowered), sentence assignment,
+    in-sentence positions, AND absolute char offsets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.vectorized import (
+        _tokenize_arrow,
+    )
+
+    arr = pa.array(sents, type=pa.string())
+    tk = _tokenize_arrow(arr, pa)
+    want = []  # (sent_idx, pos, lowered_token, start, end) per tokenize()
+    base = 0
+    for si, s in enumerate(sents):
+        for pos, (tok, a, b) in enumerate(tokenize(s)):
+            want.append((si, pos, tok.lower(), base + a, base + b))
+        base += len(s)
+    if tk == "EMPTY" or tk is None:
+        assert not want, (sents, want)
+        return
+    low, sent_of, pos_in_sent, abs_start, abs_end, d = tk
+    got = list(
+        zip(sent_of.tolist(), pos_in_sent.tolist(), low.to_pylist(),
+            abs_start.tolist(), abs_end.tolist())
+    )
+    assert got == want, (sents, got[:5], want[:5])
