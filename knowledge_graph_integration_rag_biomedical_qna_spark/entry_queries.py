@@ -1526,8 +1526,10 @@ def kg_streaming_ingest(spark, sf_dir):
     # several input files -> several micro-batches under maxFilesPerTrigger
     synth_transcripts(docs).repartition(8).write.parquet(in_dir)
     keys_bc = broadcast_alias_keys(spark, aliases)
+    # watermark wider than the synthetic ts span: no row can be classified
+    # late, so micro-batch order cannot change the edge set
     q_ = start_kg_stream(spark, in_dir, out_dir, aliases, keys_bc,
-                         trigger_available_now=True)
+                         trigger_available_now=True, watermark="3650 days")
     q_.awaitTermination()
     edges = spark.read.parquet(os.path.join(out_dir, "kg_edges_stream")).select(
         "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"

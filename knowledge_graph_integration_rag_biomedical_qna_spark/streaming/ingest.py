@@ -53,9 +53,16 @@ def start_kg_stream(
     aliases: DataFrame,
     keys_bc,
     trigger_available_now: bool = True,
+    watermark: str = "10 minutes",
 ):
-    """Start the streaming job: micro-batches of turns -> kg_edges appends."""
-    turns = deduped_turns_stream(stream_transcripts(spark, in_path))
+    """Start the streaming job: micro-batches of turns -> kg_edges appends.
+
+    `watermark` bounds how late a (conv_id, turn_idx) re-send may arrive and
+    still dedup; rows older than the watermark MAY be dropped by the engine.
+    Batch-equivalence consumers (the driver-gated kg_streaming_ingest query)
+    pass a delay wider than the input's event-time span so nothing can be
+    late; production tunes it to the real ingest lag."""
+    turns = deduped_turns_stream(stream_transcripts(spark, in_path), watermark=watermark)
     os.makedirs(out_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
