@@ -44,6 +44,13 @@ _LEAD_PUNCT_PAT = r"^['\-]+"
 _TRAIL_PUNCT_PAT = r"['\-]+$"
 _WS_PAT = r"\s+"
 _SEP = "\x00"
+# Characters that force a row onto the Python fallback path: \x00 is our
+# sentence-separator sentinel; \x0b and \x1c-\x1f are whitespace to Python's
+# re (\s) but NOT to RE2's ASCII \s, so the Arrow pipeline would split
+# sentences differently (\x0c/formfeed matches in both, so it stays fast).
+import re as _re
+
+_SLOW_CHARS_RE = _re.compile("[\x00\x0b\x1c-\x1f]")
 
 # predicate phrases bucketed by token length: length -> {space-joined: norm}
 _PRED_BY_LEN: dict[int, dict[str, str]] = {}
@@ -338,7 +345,10 @@ def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("")
     ok = np.fromiter(
-        (isinstance(t, str) and t.isascii() and _SEP not in t for t in texts),
+        (
+            isinstance(t, str) and t.isascii() and _SLOW_CHARS_RE.search(t) is None
+            for t in texts
+        ),
         dtype=bool,
         count=len(texts),
     )

@@ -160,6 +160,15 @@ def test_alias_index_equals_naive_matcher(s, keys):
 # --- vectorized kernel == per-row kernel (the r2 fast-path equivalence) ---
 
 unicode_text_st = st.text(min_size=0, max_size=120)  # full unicode incl. \x00
+# chars where Python-\s and RE2-\s disagree (vertical tab + FS/GS/RS/US) —
+# these must be routed to the slow path or sentence splits diverge (ADVICE r2)
+divergent_ws_text_st = st.lists(
+    st.sampled_from(
+        list("\x0b\x1c\x1d\x1e\x1f\x0c.!? ") + sorted(KEYS)[:3] + ["treats", "a"]
+    ),
+    min_size=0,
+    max_size=25,
+).map("".join)
 
 
 def _norm_unified(df):
@@ -172,7 +181,13 @@ def _norm_unified(df):
     return df
 
 
-@given(st.lists(st.one_of(sentence_st, text_st, unicode_text_st), min_size=0, max_size=8))
+@given(
+    st.lists(
+        st.one_of(sentence_st, text_st, unicode_text_st, divergent_ws_text_st),
+        min_size=0,
+        max_size=8,
+    )
+)
 @settings(max_examples=200, deadline=None)
 def test_vectorized_kernel_equals_row_path(texts):
     """extract_unified_pdf (pyarrow fast path + non-ASCII fallback) produces
@@ -237,3 +252,31 @@ def test_byte_tokenizer_equals_regex_tokenize(sents):
             abs_start.tolist(), abs_end.tolist())
     )
     assert got == want, (sents, got[:5], want[:5])
+
+
+def test_divergent_whitespace_chars_route_to_slow_path():
+    """Pinned regression (ADVICE r2): \\x0b and \\x1c-\\x1f are whitespace to
+    Python's re but not RE2's ASCII \\s; rows containing them must produce
+    identical sent_idx/rows via the slow path. \\x0c matches in both engines
+    and may stay on the fast path."""
+    import pandas as pd
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import AliasIndex
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.vectorized import (
+        extract_unified_pdf,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.extraction import (
+        row_path_unified_pdf,
+    )
+
+    k = sorted(KEYS)
+    texts = [f"{k[0]}.{ch}{k[1]} treats {k[2]}." for ch in "\x0b\x1c\x1d\x1e\x1f\x0c"]
+    texts.append(f"{k[0]} treats {k[1]}.")  # plain fast-path row in the same batch
+    pdf = pd.DataFrame(
+        {"conv_id": [f"c{i}" for i in range(len(texts))],
+         "turn_idx": list(range(len(texts))), "text": texts}
+    )
+    idx = AliasIndex(KEYS)
+    got = _norm_unified(extract_unified_pdf(pdf, idx))
+    want = _norm_unified(row_path_unified_pdf(pdf, idx))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
