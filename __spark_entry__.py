@@ -45,6 +45,10 @@ def oracle_sql() -> dict[str, str]:
         from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.materialize import materialize_all
 
         materialize_all("/root/testdata/sf0.01")
-    except Exception:
-        pass  # fall back to the committed sf0.01 materialization
+    except Exception as exc:
+        import warnings
+
+        # committed data/oracle/current/sf0.01/*.parquet is the cold-start
+        # fallback, but a refresh failure is worth hearing about
+        warnings.warn(f"oracle materialize_all failed: {exc!r}")
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -48,8 +48,10 @@ def _qm(name: str):
         def wrapped(spark, sf_dir, _fn=fn, _name=name):
             try:
                 _mat.materialize(sf_dir, _name)
-            except Exception:
-                pass  # a stale oracle file fails the compare loudly; never fail the query
+            except Exception as exc:  # missing/stale oracle fails the compare loudly,
+                import warnings       # but never the query itself — still, say why
+
+                warnings.warn(f"oracle materialize failed for {_name}: {exc!r}")
             return _fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

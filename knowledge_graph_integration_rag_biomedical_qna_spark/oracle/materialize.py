@@ -33,13 +33,27 @@ from ..core.text import split_sentences
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ORACLE_DIR = os.path.join(_REPO_ROOT, "data", "oracle", "current")
 
-# (name, sf_dir) pairs materialized in this process — avoids recomputing the
+# The driver's correctness gate always compares at this scale; the registered
+# oracle SQL therefore reads the sf0.01 file. Other scales (bench at sf0.1,
+# smoke at sf0.001) materialize to their OWN per-scale path so a later run at
+# a different sf can never clobber what the gate reads (ADVICE r2, medium).
+GATE_SF_TAG = "sf0.01"
+
+# (name, sf_tag) pairs materialized in this process — avoids recomputing the
 # pandas pipeline on every bench iteration
-_DONE: dict[str, str] = {}
+_DONE: set[tuple[str, str]] = set()
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def oracle_path(name: str, sf_tag: str = GATE_SF_TAG) -> str:
+    return os.path.join(ORACLE_DIR, sf_tag, name + ".parquet")
 
 
 def oracle_read_sql(name: str) -> str:
-    return f"SELECT * FROM read_parquet('{os.path.join(ORACLE_DIR, name + '.parquet')}')"
+    return f"SELECT * FROM read_parquet('{oracle_path(name)}')"
 
 
 # --------------------------------------------------------------------------
@@ -364,17 +378,18 @@ ORACLES: dict[str, callable] = {
 
 def materialize(sf_dir: str, name: str) -> str:
     """Compute the independent expected result for `name` at `sf_dir` and
-    write it to the oracle parquet path (atomic tmp+rename). Cached per
-    process+sf_dir so bench loops don't recompute."""
-    path = os.path.join(ORACLE_DIR, name + ".parquet")
-    if _DONE.get(name) == sf_dir and os.path.exists(path):
+    write it to that scale's oracle parquet path (atomic tmp+rename). Cached
+    per process+scale so bench loops don't recompute."""
+    tag = _sf_tag(sf_dir)
+    path = oracle_path(name, tag)
+    if (name, tag) in _DONE and os.path.exists(path):
         return path
-    os.makedirs(ORACLE_DIR, exist_ok=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     pdf = ORACLES[name](sf_dir)
     tmp = path + f".tmp{os.getpid()}"
     pdf.to_parquet(tmp, index=False)
     os.replace(tmp, path)
-    _DONE[name] = sf_dir
+    _DONE.add((name, tag))
     return path
 
 
