@@ -67,6 +67,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + widen-if-deficient, for queries whose map side is heavy per-row
+    compute (shingling, hashing, vector math). A single-file single-row-group
+    parquet input gives the scan exactly ONE task, and whole-stage codegen
+    fuses the expensive kernels into that serial task — measured 3.2x wall on
+    the minhash family at sf0.1. When the scan has far fewer partitions than
+    the session's parallelism, repartition first (tiny shuffle: the input is
+    small by definition); a many-file input at real scale is untouched, so no
+    extra full-data shuffle ever appears at 100 TB."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        df = df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Relational core: scans, filters, projections (SURVEY §2.1-2.2)
 # ---------------------------------------------------------------------------
@@ -669,7 +685,7 @@ def kg_turn_assembly_window(spark, sf_dir):
 def text_token_count(spark, sf_dir):
     from .operators.text_analysis import bpe_ish_token_count, token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").cast("bigint").alias("n_tokens"),
@@ -707,7 +723,7 @@ def text_quality_score(spark, sf_dir):
     identical IEEE doubles on both engines floor identically."""
     from .operators.text_analysis import STOPWORDS
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pr = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.greatest(
         F.length("text"), F.lit(1)
@@ -756,7 +772,7 @@ def text_quality_score(spark, sf_dir):
 def text_lang_id(spark, sf_dir):
     from .operators.text_analysis import lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
@@ -775,7 +791,7 @@ def text_lang_id(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     from .operators.text_analysis import doc_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
@@ -793,7 +809,7 @@ def text_fingerprint(spark, sf_dir):
 def dedup_exact_hash(spark, sf_dir):
     from .operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf_dir, "documents")).select("text_hash", "rep_id", "n_dups")
+    return exact_dedup(_t_wide(spark, sf_dir, "documents")).select("text_hash", "rep_id", "n_dups")
 
 
 # shingle CTE shared by minhash queries: word 3-grams, distinct per doc
@@ -820,7 +836,7 @@ _SHINGLE_CTE = r"""
 def dedup_minhash_signatures(spark, sf_dir):
     from .operators.dedup import minhash_signatures, with_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_signatures(with_shingles(docs, n=3), num_hashes=8)
 
 
@@ -864,7 +880,7 @@ def dedup_minhash_signatures(spark, sf_dir):
 def dedup_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_dedup(docs, n=3, num_hashes=16, bands=4, threshold=0.35)
 
 
@@ -893,7 +909,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     hot shingle makes this join quadratic in its document frequency)."""
     from .operators.dedup import jaccard_verify, with_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sh = with_shingles(docs, n=3)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -932,7 +948,7 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
     (Jaccard verification)."""
     from .operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_dedup(docs, n=3, num_hashes=16, bands=8, threshold=0.35, family="xxhash64")
 
 
@@ -966,7 +982,7 @@ def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (FAISS IndexFlatIP analog) — JVM-side math."""
     from .operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -992,7 +1008,7 @@ def ann_threshold_pairs(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= 0.5) with label blocking."""
     from .operators.dedup import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.5, block_col="label")
 
 
@@ -1216,7 +1232,7 @@ def dedup_simhash(spark, sf_dir):
     rows-only; semantics pytest-verified with planted duplicates)."""
     from .operators.dedup import simhash, simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return simhash_near_dups(simhash(docs), band_bits=16, bands=4)
 
 
@@ -1228,7 +1244,7 @@ def ann_ivf_topk(spark, sf_dir):
     an independent engine; recall vs brute force is pytest-gated instead."""
     from .operators.similarity import build_ivf_index, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1242,7 +1258,7 @@ def multimodal_decode(spark, sf_dir):
     Arrow-batched mapInPandas; codec stubbed deterministically)."""
     from .operators.multimodal import decode_media, documents_as_media
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return decode_media(documents_as_media(docs), fake=True).select(
         "media_id", "media_type", "n_bytes", "width", "height", "n_frames"
     )
@@ -1255,7 +1271,7 @@ def multimodal_frame_sample(spark, sf_dir):
     the multimodal pipeline's per-frame fan-out shape."""
     from .operators.multimodal import decode_media, documents_as_media, sample_frames
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return sample_frames(decode_media(documents_as_media(docs), fake=True), every_n=8)
 
 

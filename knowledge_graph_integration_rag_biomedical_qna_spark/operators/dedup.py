@@ -74,8 +74,25 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, family: str = 
     return shingles.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs."""
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs.
+
+    `max_bucket` is the hot-bucket cap: a degenerate corpus (millions of
+    identical boilerplate docs -> one band key) makes the bucket self-join
+    quadratic in the bucket size. With a cap, buckets larger than
+    `max_bucket` are excluded from the pairwise join and instead contribute
+    only FULL-SIGNATURE-identical pairs (grouped to one representative:
+    (min_id, other) per signature group — linear in bucket size, and
+    identical signatures are near-certain duplicates anyway, which is what
+    degenerate buckets are made of). The number of capped buckets is counted
+    (one small aggregate-sized job) and logged. Cap default is None so the
+    plan stays single-pass; production callers at web scale should set it
+    (minhash_dedup forwards its own `max_bucket`)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -86,14 +103,45 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, bands: int 
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        banded = banded.withColumn("bsz", bsz)
+        hot = banded.filter(F.col("bsz") > max_bucket)
+        n_hot = hot.select("band", "key").distinct().count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"lsh_candidate_pairs: {n_hot} bucket(s) over max_bucket={max_bucket} "
+                "excluded from the pairwise join; capped buckets contribute "
+                "identical-signature pairs only"
+            )
+        sig_key = F.concat_ws("|", *[F.col(f"h{i}") for i in range(num_hashes)])
+        # linear rep-join, never a per-group array: groups in a degenerate
+        # bucket can hold millions of ids
+        hot_sigs = (
+            hot.select("id").distinct().join(signatures, "id")
+            .select("id", sig_key.alias("sk"))
+        )
+        reps = hot_sigs.groupBy("sk").agg(F.min("id").alias("id_a"))
+        capped_pairs = (
+            hot_sigs.join(reps, "sk")
+            .filter(F.col("id") > F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
+        banded = banded.filter(F.col("bsz") <= max_bucket).drop("bsz")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.unionByName(capped_pairs)
+    return pairs.distinct()
 
 
 def jaccard_verify(
@@ -138,6 +186,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     family: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: verified duplicate pairs.
 
@@ -160,7 +209,7 @@ def minhash_dedup(
         *[F.min(expr(i)).alias(f"h{i}") for i in range(num_hashes)],
         F.count(F.lit(1)).alias("n"),
     )
-    cand = lsh_candidate_pairs(agg, num_hashes=num_hashes, bands=bands)
+    cand = lsh_candidate_pairs(agg, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
     return jaccard_verify(cand, sh, threshold=threshold, sizes=agg.select("id", "n"))
 
 
@@ -188,7 +237,13 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_dups(sim: DataFrame, band_bits: int = 16, bands: int = 4, bits: int = 32) -> DataFrame:
+def simhash_near_dups(
+    sim: DataFrame,
+    band_bits: int = 16,
+    bands: int = 4,
+    bits: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs via ROTATED banding: band i buckets on
     `band_bits` bits of the hash rotated by i*bits/bands. Every bit lies
     OUTSIDE at least `bands - band_bits*bands/bits` bands, so any pair at
@@ -216,8 +271,35 @@ def simhash_near_dups(sim: DataFrame, band_bits: int = 16, bands: int = 4, bits:
     banded = sim.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        # hot-bucket cap, same scheme as lsh_candidate_pairs: oversized
+        # buckets leave the pairwise join and contribute identical-simhash
+        # (hamming 0) pairs via a linear rep-join
+        from pyspark.sql import Window
+
+        banded = banded.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        hot = banded.filter(F.col("bsz") > max_bucket)
+        n_hot = hot.select("band", "key").distinct().count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"simhash_near_dups: {n_hot} bucket(s) over max_bucket={max_bucket} "
+                "excluded from the pairwise join; capped buckets contribute "
+                "identical-simhash pairs only"
+            )
+        hot_ids = hot.select("id", "simhash").distinct()
+        reps = hot_ids.groupBy("simhash").agg(F.min("id").alias("id_a"))
+        capped_pairs = (
+            hot_ids.join(reps, "simhash")
+            .filter(F.col("id") > F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"), F.lit(0).alias("hamming"))
+        )
+        banded = banded.filter(F.col("bsz") <= max_bucket).drop("bsz")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -225,8 +307,12 @@ def simhash_near_dups(sim: DataFrame, band_bits: int = 16, bands: int = 4, bits:
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.unionByName(capped_pairs.select(
+            "id_a", "id_b", F.col("hamming").cast("int")
+        ))
+    return pairs.distinct()
 
 
 # --- embedding near-dup --------------------------------------------------------
@@ -241,6 +327,39 @@ def _hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
          for k in range(dim)]
         for j in range(num_planes)
     ]
+
+
+def _sign_lsh_sig_udf(num_planes: int, dim: int):
+    """Arrow-batched signature: ONE numpy matmul (n x dim) @ (dim x planes)
+    per batch instead of `num_planes` interpreted aggregate(zip_with(...))
+    expressions (~dim*planes interpreted ops per ROW). Bit j of the
+    signature = sign of the dot with deterministic hyperplane j. Products are
+    exact (+/-1.0 coefficients) but matmul may SUM in a different order than
+    the expression form's left fold, so a dot within rounding error of zero
+    could in principle bucket differently — affects candidate recall only
+    (verification is exact), and matched bit-for-bit on every tested input."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.asarray(_hyperplane_signs(num_planes, dim), dtype=np.float64).T
+    weights = np.asarray([1 << j for j in range(num_planes)], dtype=np.int64)
+
+    @pandas_udf("long")
+    def sig(v):
+        import pandas as pd
+
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        if mat.size == 0:
+            return pd.Series(np.zeros(len(v), dtype=np.int64))
+        bits = (mat @ planes_t) > 0
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+# below this cosine threshold, 8-plane sign-LSH recall degrades enough that
+# silent use is wrong: route to brute-force (with a warning) instead
+_SIGN_LSH_MIN_THRESHOLD = 0.8
 
 
 def embedding_near_dups(
@@ -259,10 +378,11 @@ def embedding_near_dups(
     pairs separated by >=2 hyperplanes are the tolerated recall loss.
 
     Design center: NEAR-DUP thresholds (>= ~0.9, measured recall 0.989 at
-    0.95 on a planted 480-vector corpus). At loose thresholds (e.g. 0.5 =
-    60 degrees, ~1/3 separation probability PER plane) sign-LSH recall
-    collapses — use `block_col` blocking or the brute-force
-    `ann_threshold_pairs` twin there."""
+    0.95 on a planted 480-vector corpus). At thresholds below
+    `_SIGN_LSH_MIN_THRESHOLD` (0.5 = 60 degrees means ~1/3 separation
+    probability PER plane) sign-LSH recall collapses, so the un-blocked path
+    warns and routes to the brute-force all-pairs join instead (quadratic —
+    at scale, callers wanting loose thresholds should pass `block_col`)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     base = embeddings.select(
@@ -274,19 +394,47 @@ def embedding_near_dups(
     if block_col:
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(b, "blk")
+    elif threshold < _SIGN_LSH_MIN_THRESHOLD:
+        import warnings
+
+        warnings.warn(
+            f"embedding_near_dups: threshold={threshold} is below the sign-LSH "
+            f"design floor {_SIGN_LSH_MIN_THRESHOLD}; routing to brute-force "
+            "all-pairs (quadratic) — pass block_col for a scalable loose-"
+            "threshold search"
+        )
+        # crossJoin (partition-pairwise CartesianProduct), NOT a join on a
+        # constant key, which would shuffle every row to one partition
+        joined = base.alias("a").crossJoin(base.alias("b"))
     else:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = _hyperplane_signs(num_planes, dim)
-        sig = F.lit(0)
-        for j, w in enumerate(planes):
-            wcol = F.array(*[F.lit(x) for x in w])
-            dot_j = F.aggregate(
-                F.zip_with(F.col("v"), wcol, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        first = embeddings.select(vec_col).first()
+        if first is None:  # empty input: no pairs (and no dim to be read)
+            return (
+                base.select(
+                    F.col("id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
             )
-            sig = sig + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        base = base.withColumn("sig", sig)
+        dim = len(first[0])
+        if dim >= 256:
+            # wide vectors: one Arrow-batched numpy matmul per batch beats
+            # num_planes interpreted aggregate(zip_with()) expressions
+            # (measured 1.4x at 768-d, value-identical signatures); below
+            # ~256-d the Python-worker round-trip costs more than it saves
+            base = base.withColumn("sig", _sign_lsh_sig_udf(num_planes, dim)(F.col("v")))
+        else:
+            planes = _hyperplane_signs(num_planes, dim)
+            sig = F.lit(0)
+            for j, w in enumerate(planes):
+                wcol = F.array(*[F.lit(x) for x in w])
+                dot_j = F.aggregate(
+                    F.zip_with(F.col("v"), wcol, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                sig = sig + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            base = base.withColumn("sig", sig)
         # left side probes its bucket + every hamming-1 neighbor; right side
         # stays in its own bucket -> any pair within hamming 1 collides
         probes = F.array(

@@ -372,3 +372,83 @@ def test_simhash_python_oracle_matches_spark_on_tricky_text(spark):
                 votes[b] += 1 if (h >> b) & 1 else -1
         want = sum(1 << b for b in range(32) if votes[b] > 0)
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """VERDICT r2 item 6: 10k identical docs = one band bucket; without a cap
+    the bucket self-join is ~50M pairs. With max_bucket set, the join stays
+    bounded, a drop line is logged, and the identical docs still come out as
+    duplicate pairs (rep-grouped, then Jaccard-verified at 1.0)."""
+    import warnings
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import minhash_dedup
+
+    n = 10_000
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = minhash_dedup(docs, n=3, threshold=0.9, family="xxhash64",
+                              max_bucket=100).toPandas()
+    assert any("max_bucket" in str(w.message) for w in caught), "no drop line logged"
+    # every doc pairs with the representative (min id) exactly once: n-1 pairs
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == 0).all()
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_simhash_hot_bucket_cap(spark):
+    import warnings
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    n = 2_000
+    rows = [(i, "identical text for the simhash cap test") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = simhash(docs)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = simhash_near_dups(sim, max_bucket=50).toPandas()
+    assert any("max_bucket" in str(w.message) for w in caught)
+    assert len(pairs) == n - 1
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_embedding_near_dups_loose_threshold_routes_to_bruteforce(spark, emb):
+    """VERDICT r2 item 8: below the sign-LSH design floor the un-blocked path
+    must warn and fall back to exact all-pairs (full recall)."""
+    import warnings
+
+    small = emb.limit(60)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = embedding_near_dups(small, threshold=0.5, block_col=None).toPandas()
+    assert any("brute-force" in str(w.message) for w in caught)
+    # exact reference: all pairs with cosine >= 0.5
+    import numpy as np
+
+    pdf = small.select("vec_id", "embedding").toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(mat, axis=1)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                c = round(float(mat[i] @ mat[j]) / float(nrm[i] * nrm[j]), 6)
+                if c >= 0.5:
+                    want.add((ids[i], ids[j]))
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == want
+
+
+def test_embedding_near_dups_empty_input(spark):
+    """ADVICE r2: empty input must return an empty result, not crash on
+    first()[0]."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label string")
+    out = embedding_near_dups(empty, threshold=0.95, block_col=None)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
