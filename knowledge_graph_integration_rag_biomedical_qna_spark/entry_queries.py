@@ -1236,12 +1236,13 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_dups(simhash(docs), band_bits=16, bands=4)
 
 
-@q("ann_ivf_topk", None)
+@_qm("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k. Rows-only ON PURPOSE: the Lloyd-step centroid
-    means are float sums whose order depends on partitioning, so nearest-
-    centroid assignment (hence the candidate set) is not bit-reproducible by
-    an independent engine; recall vs brute force is pytest-gated instead."""
+    """IVF approximate top-k, hash-checked against an independent numpy
+    re-derivation (oracle/materialize.ann_ivf_topk_pdf). Reproducible since
+    r3: Lloyd means quantize to 6dp, folds are sequential both sides, and the
+    train sample is a hash-threshold predicate — no partition-order-sensitive
+    float path remains (this was rows-only in r1/r2)."""
     from .operators.similarity import build_ivf_index, ivf_topk
 
     emb = _t_wide(spark, sf_dir, "embeddings")

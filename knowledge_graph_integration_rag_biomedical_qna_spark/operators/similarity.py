@@ -72,18 +72,28 @@ def build_ivf_index(
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
     train_sample: int | None = 200_000,
+    mean_precision: int | None = 6,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic sampled-k-means IVF index (FAISS IVF analog,
     rag2-retriever/retrieve.py:19-59: nlist=4096, train sample <= 200k):
 
     - seeds: the `n_centroids` vectors ranked first by md5(vec_id) — a
       deterministic uniform draw, NOT the lowest ids (id order often
-      correlates with content, which collapses seed diversity);
-    - `lloyd_iters` Lloyd refinements, each computing element-wise centroid
-      means over a deterministic md5-ranked TRAINING SAMPLE of at most
-      `train_sample` vectors (the full corpus never shuffles for training —
-      at 10^12 rows the sample is what makes k-means feasible, exactly the
-      reference's <=200k cap);
+      correlates with content, which collapses seed diversity). The ranked
+      top-k runs over (vec_id, rank) ONLY — the vectors join back by id
+      executor-side, so no embedding array ever rides a TakeOrdered through
+      the driver (at 768-d x 200k rows that bounce is ~1.2 GB of driver heap,
+      the r2 verdict's #1 scale-killer);
+    - training sample: a deterministic HASH-THRESHOLD filter
+      (md5(vec_id) < cutoff for fraction train_sample/n) — a predicate the
+      scan absorbs, not a global sort. The cap is approximate (binomial
+      ~±0.5% at 200k), which is all a memory bound needs;
+    - `lloyd_iters` Lloyd refinements; the element-wise centroid means are
+      ROUNDED to `mean_precision` decimals (default 6), which makes the
+      centroids — and hence assignments, probes, and the whole index —
+      independent of partition order (float avg() is order-sensitive in the
+      last ulp; rounding quantizes that away), so an independent engine can
+      reproduce the index bit-for-bit;
     - final assignment of EVERY vector to its nearest centroid (one broadcast
       of the centroid table, no shuffle of the corpus).
     - `n_centroids=None` sizes the list count as ~sqrt(n) (FAISS guidance),
@@ -100,21 +110,25 @@ def build_ivf_index(
 
         n_centroids = max(16, int(math.sqrt(base.count())))
     rank_key = F.md5(F.col("vec_id").cast("string"))
-    seeds = (
-        base.withColumn("_r", rank_key)
+    seed_ids = (
+        base.select("vec_id").withColumn("_r", rank_key)
         .orderBy("_r", "vec_id")
         .limit(n_centroids)
         .withColumn("centroid_id", F.row_number().over(Window.orderBy("_r", "vec_id")) - 1)
+        .drop("_r")
+    )
+    seeds = (
+        base.join(F.broadcast(seed_ids), "vec_id")
         .select("centroid_id", F.col("v").alias("c"))
     )
     train = base
     if train_sample is not None:
-        train = (
-            base.withColumn("_r", rank_key)
-            .orderBy("_r", "vec_id")
-            .limit(train_sample)
-            .drop("_r")
-        )
+        n = base.count()
+        if n > train_sample:
+            # 32-hex-char cutoff: md5 hex compares lexicographically ==
+            # numerically, so this is a pure pushed-down predicate
+            cutoff = format(((1 << 128) * train_sample) // n, "032x")
+            train = base.filter(rank_key < F.lit(cutoff))
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -138,8 +152,11 @@ def build_ivf_index(
         # Lloyd step: element-wise mean per centroid (posexplode + groupBy);
         # empty centroids keep their previous position (left join + coalesce)
         dims = a.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+        mean_expr = F.avg("x")
+        if mean_precision is not None:
+            mean_expr = F.round(mean_expr, mean_precision)
         means = (
-            dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+            dims.groupBy("centroid_id", "pos").agg(mean_expr.alias("m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("new_c"))

@@ -352,6 +352,76 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(sorted(rows), columns=["surface", "cui", "cos"])
 
 
+def _round_half_up6(x: float) -> float:
+    """Spark F.round semantics: HALF_UP on the exact binary double (Spark
+    rounds via BigDecimal(double)), vs Python round()'s half-even."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _seq_fold_sum(arr: np.ndarray) -> np.ndarray:
+    """Bit-exact twin of Spark's F.aggregate left fold over an array column:
+    cumsum is semantically the sequential prefix sum, so its last element
+    reproduces ((0+x0)+x1)+... float-for-float."""
+    return np.cumsum(arr, axis=-1)[..., -1]
+
+
+def ann_ivf_topk_pdf(sf_dir: str, n_centroids: int = 16, lloyd_iters: int = 1,
+                     nprobe: int = 4, k: int = 10) -> pd.DataFrame:
+    """Independent numpy re-derivation of the IVF index + probe search
+    (operators/similarity.py build_ivf_index/ivf_topk with the r3 defaults).
+    Reproducible because the Spark side quantizes every partition-order-
+    sensitive quantity: Lloyd means round to 6dp (mean_precision=6), folds are
+    sequential (matched here with cumsum), and cosines round to 6dp HALF_UP.
+    Seeds = n_centroids smallest (md5(str(id)), id); train = full corpus at
+    test scales (<= 200k cap)."""
+    import hashlib
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float32).astype(np.float64) for v in pdf["embedding"]])
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+
+    rank = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    seed_pos = sorted(range(len(ids)), key=lambda p: (rank[p], ids[p]))[:n_centroids]
+    cents = mat[seed_pos].copy()  # centroid_id = seed rank order
+
+    def assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # d2 via the sequential fold (vecs_n x cents_m x dim cumsum)
+        diff = vecs[:, None, :] - cents[None, :, :]
+        d2 = _seq_fold_sum(diff * diff)
+        # argmin with centroid_id tie-break == np.argmin (first minimum)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(max(lloyd_iters, 0)):
+        a = assign(mat, cents)
+        for cid in range(len(cents)):
+            members = mat[a == cid]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[cid] = np.array([_round_half_up6(x) for x in m])
+    final = assign(mat, cents)
+    nrm = np.sqrt(_seq_fold_sum(mat * mat))
+
+    q_mask = ids < 5
+    rows = []
+    for qi in np.flatnonzero(q_mask):
+        qv, qid, qnrm = mat[qi], ids[qi], nrm[qi]
+        qd2 = _seq_fold_sum((qv[None, :] - cents) ** 2)
+        probes = np.argsort(qd2, kind="stable")[:nprobe]  # ties break on centroid_id
+        cand = np.flatnonzero(np.isin(final, probes) & (ids != qid))
+        dots = _seq_fold_sum(mat[cand] * qv[None, :])
+        cos = np.array([_round_half_up6(d / (n_ * qnrm)) for d, n_ in zip(dots, nrm[cand])])
+        top = sorted(zip(-cos, ids[cand]))[:k]
+        for r, (negc, vid) in enumerate(top, 1):
+            rows.append((int(qid), int(vid), -negc, r))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rank"])
+
+
 # --------------------------------------------------------------------------
 # registry + writer
 # --------------------------------------------------------------------------
@@ -373,6 +443,7 @@ ORACLES: dict[str, callable] = {
     "multimodal_decode": multimodal_decode_pdf,
     "multimodal_frame_sample": multimodal_frame_sample_pdf,
     "embed_link_score": embed_link_score_pdf,
+    "ann_ivf_topk": ann_ivf_topk_pdf,
 }
 
 

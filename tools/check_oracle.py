@@ -85,6 +85,17 @@ def main():
             n_rows_only += 1
             continue
         try:
+            # materialized-oracle SQL is registered against the DRIVER's gate
+            # scale (sf0.01); when checking another scale, retarget the
+            # read_parquet path to that scale's materialization (the query
+            # wrapper just refreshed it for this sf_dir)
+            from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.materialize import (
+                GATE_SF_TAG,
+            )
+
+            tag = os.path.basename(os.path.normpath(sf_dir))
+            if tag != GATE_SF_TAG:
+                sql = sql.replace(f"/current/{GATE_SF_TAG}/", f"/current/{tag}/")
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
