@@ -1943,16 +1943,45 @@ def cot_input_dispatch(spark, sf_dir):
     )
 
 
-@q("approx_sketches", None)
+@q(
+    "approx_sketches",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS users_in_bounds,
+           TRUE AS median_in_bounds,
+           TRUE AS p99_in_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_sketches(spark, sf_dir):
     """Sketch aggregates: HLL distinct + approximate quantiles per group.
-    Rows-only: sketch implementations differ across engines by design; the
-    exact twins (countDistinct, percentile) are SQL-checked separately."""
+    Sketch values differ across engines by design, so the oracle contract is
+    BOUNDS, not values (r2 verdict item): each sketch must land inside an
+    exact-statistic envelope computed in the same aggregate — HLL within
+    +-15% of exact countDistinct (3x the default 5% rsd), approx median
+    within the exact [p40, p60], approx p99 within [p95, max]. The oracle
+    recomputes exact_users independently and pins every bound TRUE."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
         F.percentile_approx("value", 0.99).alias("approx_p99"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.40)").alias("_p40"),
+        F.expr("percentile(value, 0.60)").alias("_p60"),
+        F.expr("percentile(value, 0.95)").alias("_p95"),
+        F.max("value").alias("_vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            (F.col("approx_users") >= F.col("exact_users") * 0.85)
+            & (F.col("approx_users") <= F.col("exact_users") * 1.15)
+        ).alias("users_in_bounds"),
+        F.col("approx_median").between(F.col("_p40"), F.col("_p60")).alias("median_in_bounds"),
+        F.col("approx_p99").between(F.col("_p95"), F.col("_vmax")).alias("p99_in_bounds"),
     )
 
 
@@ -1999,3 +2028,56 @@ def kg_link_score_blend(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("score") >= 0.5))
         .select("surface", "cui", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate curation (r2 verdict item 1): the driver's correctness gate
+# stamps the FIRST 50 registry entries, so order is contract. The first 50
+# below = the 23 queries never stamped in r01/r02 (driver-green evidence was
+# the judge's own oracle runs until now) + the 27 highest-value previously-
+# stamped queries (full KG flagship chain, every dedup/ANN/text family
+# member, multimodal, and the canonical relational shapes). The remaining 23
+# — all stamped green in r01+r02, mostly simple filter/join/window shapes —
+# keep their oracles for tools/check_oracle.py but sit past the gate cap.
+# ---------------------------------------------------------------------------
+
+_GATE_ORDER = [
+    # KG flagship chain
+    "kg_pipeline_full", "kg_nodes_full", "kg_edge_stats_full",
+    "kg_triple_extract_regex", "kg_entity_link_top1", "kg_canonicalize_nodes",
+    "kg_turn_assembly_window", "kg_turn_assembly_synth",
+    "kg_mention_detect_synth", "kg_mention_detect_spill",
+    "kg_streaming_ingest", "kg_checkpointed_run",
+    "kg_neighborhood", "kg_two_hop_paths", "kg_question_retrieval",
+    "kg_link_score_blend", "cot_input_dispatch", "conversation_assembly_concat",
+    # dedup family
+    "dedup_exact_hash", "dedup_minhash_signatures", "dedup_minhash_pairs",
+    "dedup_minhash_pairs_fast", "dedup_ngram_jaccard", "dedup_simhash",
+    # similarity / embeddings
+    "ann_cosine_topk", "ann_ivf_topk", "ann_threshold_pairs", "embed_link_score",
+    # text analysis + multimodal
+    "text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint",
+    "multimodal_decode", "multimodal_frame_sample",
+    # pruning / relational core
+    "prune_threshold_rank", "j6_eval_accuracy", "sessionize_events",
+    "q1_pricing_summary", "q3_order_revenue", "q5_join_breadth",
+    "q2_min_subquery", "q4_semi_join_exists", "q13_order_histogram",
+    "q19_disjunctive_predicates",
+    # SQL-surface packs + sketches
+    "f_math_functions", "window_functions_pack", "grouping_sets_agg",
+    "distinct_aggregation", "merge_upsert_orders", "approx_sketches",
+    # --- gate cap (50) is here; below: stamped green in r01+r02 ---
+    "p1_empty_text_filter", "p2_delta_threshold_filter", "p4_percentile_filter",
+    "p5_coalesce_projection", "p9_group_min_filter",
+    "j1_broadcast_decode_join", "j2_keyed_lookup_join", "u3_anti_join_resume",
+    "asof_prev_click", "a2_argmax_per_group", "a5_deterministic_sample",
+    "a6_dedup_first_seen", "a7_canonical_grouping", "t1_topk_per_group",
+    "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
+    "f_json_extract", "window_running_sum", "rollup_aggregates",
+    "pivot_linestatus", "hourly_event_counts",
+]
+
+assert set(_GATE_ORDER) == set(REGISTRY), (
+    sorted(set(_GATE_ORDER) ^ set(REGISTRY))
+)
+REGISTRY = {name: REGISTRY[name] for name in _GATE_ORDER}
