@@ -90,6 +90,8 @@ class FileBackedAliasIndex:
         if hit is None:
             import pyarrow.parquet as pq
 
+            # path may be a single file or a multi-part parquet directory
+            # (pyarrow reads both); parts are read in one dataset scan
             keys = frozenset(
                 pq.read_table(self.path, columns=["alias_key"])
                 .column("alias_key").to_pylist()
@@ -123,23 +125,29 @@ def broadcast_alias_keys(
     from ..core.patterns import AliasIndex
 
     distinct = aliases.select("alias_key").distinct()
-    # limit(max+1) detects overflow while shipping at most max+1 rows
-    sample = distinct.limit(max_broadcast_keys + 1).collect()
-    if len(sample) > max_broadcast_keys:
+    # overflow detection is a distributed count — never ship 20M keys to the
+    # driver just to notice there are too many of them (r2 advice)
+    n_keys = distinct.count()
+    if n_keys > max_broadcast_keys:
         import os
         import tempfile
-        import uuid
+
+        from pyspark.sql import functions as F
 
         base = spill_dir or os.path.join(tempfile.gettempdir(), "kg_alias_spill")
         os.makedirs(base, exist_ok=True)
-        out_dir = os.path.join(base, uuid.uuid4().hex[:12])
-        distinct.coalesce(1).write.mode("overwrite").parquet(out_dir)
-        part = next(
-            os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
-            if f.endswith(".parquet")
-        )
-        return FileBackedAliasIndex(part)
-    idx = AliasIndex(frozenset(r[0] for r in sample))
+        # content-addressed spill dir: (count, order-insensitive key digest)
+        # — rerunning with the same dictionary reuses the existing spill
+        # instead of accreting uuid dirs forever
+        # bit_xor: order-insensitive and can't overflow (ANSI mode)
+        digest = distinct.agg(F.expr("bit_xor(xxhash64(alias_key))")).first()[0] or 0
+        out_dir = os.path.join(base, f"keys-{n_keys}-{digest & (1 << 64) - 1:016x}")
+        if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            # multi-part write (no coalesce(1) single-task funnel); the
+            # reader scans the directory as one dataset
+            distinct.write.mode("overwrite").parquet(out_dir)
+        return FileBackedAliasIndex(out_dir)
+    idx = AliasIndex(frozenset(r[0] for r in distinct.collect()))
     try:
         return spark.sparkContext.broadcast(idx)
     except Exception:  # Spark Connect: no SparkContext on the client

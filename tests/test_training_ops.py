@@ -452,3 +452,34 @@ def test_embedding_near_dups_empty_input(spark):
     out = embedding_near_dups(empty, threshold=0.95, block_col=None)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_minhash_fast_oracle_corpus_precondition(spark, docs):
+    """ADVICE r2: dedup_minhash_pairs_fast is gated against the EXACT
+    all-pairs Jaccard oracle at threshold 0.35, which is only sound while the
+    banded-LSH (8x2, xxhash64) recall is exactly 1.0 on this corpus. That
+    holds because every true pair sits at j >= 0.8 (miss prob (1-j^2)^8
+    <= 2.8e-4, and measured recall is 1.0) — this test pins that corpus
+    property so regenerated testdata that violates it fails HERE with an
+    explanation, not probabilistically in the driver gate."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        jaccard_verify,
+        with_shingles,
+    )
+
+    sh = with_shingles(docs, n=3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    true_pairs = jaccard_verify(cand, sh, threshold=0.35).toPandas()
+    assert len(true_pairs) > 0, "corpus lost its planted near-dups"
+    min_j = float(true_pairs["jaccard"].min())
+    assert min_j >= 0.8, (
+        f"corpus precondition violated: a true pair at jaccard={min_j} < 0.8 "
+        "makes the exact all-pairs oracle for dedup_minhash_pairs_fast flaky "
+        "(banded-LSH miss probability is no longer negligible) — raise the "
+        "query/oracle threshold or re-band"
+    )
