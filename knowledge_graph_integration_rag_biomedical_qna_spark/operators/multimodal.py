@@ -2,11 +2,13 @@
 
 The engine treats image/audio/video as `binary` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs over `mapInPandas`. The actual codec step is STUBBED in this
-container (no image/audio libs): `decode_image` raises NotImplementedError
-unless `fake=True`, in which case a deterministic fake decoder (seeded by the
-payload hash) produces plausible metadata — the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+pandas UDFs over `mapInPandas`. Real pure-python codecs exist for PNG headers
+(image dims) and RIFF/WAVE (audio frame count); compressed codecs (JPEG,
+video containers) remain STUBBED in this container (no image/audio libs) —
+those raise NotImplementedError unless `fake=True`, in which case a
+deterministic fake decoder (seeded by the payload hash) produces plausible
+metadata. The Spark-side plumbing (schema, partitioning, UDF signature,
+Arrow batch shape) is identical either way and tested on both paths.
 """
 
 from __future__ import annotations
@@ -54,10 +56,59 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_png(payload: bytes):
+    """Pure-python PNG IHDR parse: (width, height). The IHDR chunk is
+    mandatory and first (PNG spec 5.6), 8-byte signature + 4-byte length +
+    'IHDR' + big-endian W, H."""
+    import struct
+
+    if len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n" or payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return int(w), int(h)
+
+
+def _parse_wav(payload: bytes):
+    """Pure-python RIFF/WAVE parse: n_frames (samples per channel) from the
+    fmt and data chunks."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, channels, bits = 12, None, None
+    n_frames = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, = struct.unpack("<H", body[2:4])
+            bits, = struct.unpack("<H", body[14:16])
+        elif cid == b"data" and channels and bits:
+            n_frames = size // (channels * bits // 8)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    return n_frames
+
+
 def _real_decode(payload: bytes, media_type: str):
+    """Real (non-stub) decode for the formats a pure-python parser can
+    handle: PNG headers (image dims) and RIFF/WAVE (audio frame count).
+    Compressed codecs (JPEG entropy decode, video containers) stay honestly
+    stubbed — no codec libs in this container. Reference analog: the
+    tagged-union media-ish record decode (rag2-retriever/retrieve.py:133-256)."""
+    if media_type == "image":
+        dims = _parse_png(payload)
+        if dims is not None:
+            w, h = dims
+            return w, h, 1, None
+    elif media_type == "audio":
+        nf = _parse_wav(payload)
+        if nf is not None:
+            return None, None, nf, None
     raise NotImplementedError(
-        "media codecs (PIL/av/librosa) are not available in this environment; "
-        "run with fake=True for the deterministic stub decoder"
+        f"no pure-python codec for this {media_type} payload (PNG and WAV "
+        "headers are supported); run with fake=True for the deterministic "
+        "stub decoder"
     )
 
 

@@ -483,3 +483,49 @@ def test_minhash_fast_oracle_corpus_precondition(spark, docs):
         "(banded-LSH miss probability is no longer negligible) — raise the "
         "query/oracle threshold or re-band"
     )
+
+
+def test_multimodal_real_png_and_wav_decode(spark):
+    """VERDICT r2 item 9: real pure-python codecs. A genuine zlib-built PNG
+    and a hand-built RIFF/WAVE decode through the SAME mapInPandas plumbing
+    as the stub path (fake=False)."""
+    import struct
+    import zlib
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    w, h = 3, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))  # filter 0 rows
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+    n_samples, channels, bits, rate = 40, 1, 16, 8000
+    data = bytes(n_samples * channels * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image", {}), (2, bytearray(wav), "audio", {})],
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    out = {r["media_id"]: r for r in decode_media(media, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (3, 2, 1)
+    assert out[2]["n_frames"] == n_samples
+    assert out[2]["width"] is None
