@@ -78,25 +78,36 @@ _UNIFIED_COLUMNS = [
 _PA_VOCAB_CACHE: dict[int, tuple] = {}
 
 
-def _pa_vocab(idx: AliasIndex):
+def _vocab_arrays(keys_by_len: dict) -> dict:
+    """{span: (keys arrow array, distinct-first-words arrow array)}. The
+    firsts array drives the sparse k-gram prefilter: a k-gram can only match
+    where its first token is some phrase's first word, so the (expensive)
+    string joins run on those positions only."""
     import pyarrow as pa
 
+    out = {}
+    for k, v in keys_by_len.items():
+        keys = sorted(v)
+        firsts = sorted({key.split(" ", 1)[0] for key in keys}) if k > 1 else []
+        out[k] = (pa.array(keys, type=pa.string()), pa.array(firsts, type=pa.string()))
+    return out
+
+
+def _pa_vocab(idx: AliasIndex):
     hit = _PA_VOCAB_CACHE.get(id(idx))
     if hit is not None and hit[0] is idx:
         return hit[1]
-    arrays = {k: pa.array(sorted(v), type=pa.string()) for k, v in idx.keys_by_len().items()}
+    arrays = _vocab_arrays(idx.keys_by_len())
     _PA_VOCAB_CACHE.clear()
     _PA_VOCAB_CACHE[id(idx)] = (idx, arrays)
     return arrays
 
 
 def _pred_vocab():
-    import pyarrow as pa
-
     key = "__preds__"
     hit = _PA_VOCAB_CACHE.get(key)
     if hit is None:
-        hit = (None, {k: pa.array(sorted(v), type=pa.string()) for k, v in _PRED_BY_LEN.items()})
+        hit = (None, _vocab_arrays(_PRED_BY_LEN))
         _PA_VOCAB_CACHE[key] = hit
     return hit[1]
 
@@ -126,23 +137,37 @@ def _empty_unified() -> pd.DataFrame:
 def _ngram_masks(values, sent_of: np.ndarray, vocab_by_len: dict, pc):
     """For each n-gram length in vocab_by_len, a boolean hit mask over token
     positions (k-gram starting here, entirely inside one sentence, in vocab)
-    plus the joined-key Arrow array for sparse gathers. Longest-first order."""
+    plus the joined-key Arrow array for sparse gathers. Longest-first order.
+
+    Entries are (span, mask, keys, kpos): kpos=None means keys[i] is the
+    k-gram at global token position i (k=1 reuses `values`); otherwise keys
+    is SPARSE and keys[j] is the k-gram at position kpos[j] — multi-token
+    joins only run where the first token passes the firsts-prefilter, which
+    turns 3x token-count string joins into a few hundred (r3: pred masks
+    27ms -> ~2ms on the 10k-turn bench batch)."""
+    import pyarrow as pa
+
     total = len(values)
-    out: list[tuple[int, np.ndarray, object]] = []
+    out: list[tuple[int, np.ndarray, object, object]] = []
     for k in sorted(vocab_by_len, reverse=True):
-        vocab = vocab_by_len[k]
+        vocab, firsts = vocab_by_len[k]
         mask = np.zeros(total, dtype=bool)
         keys = None
+        kpos = None
         if k == 1:
             mask = pc.is_in(values, value_set=vocab).to_numpy(zero_copy_only=False)
             keys = values
         elif total >= k and len(vocab):
-            parts = [values.slice(j, total - k + 1) for j in range(k)]
-            keys = pc.binary_join_element_wise(*parts, " ")
-            hit = pc.is_in(keys, value_set=vocab).to_numpy(zero_copy_only=False)
-            same = sent_of[: total - k + 1] == sent_of[k - 1 :]
-            mask[: total - k + 1] = hit & same
-        out.append((k, mask, keys))
+            cand = pc.is_in(
+                values.slice(0, total - k + 1), value_set=firsts
+            ).to_numpy(zero_copy_only=False)
+            cand &= sent_of[: total - k + 1] == sent_of[k - 1 :]
+            kpos = np.flatnonzero(cand)
+            if kpos.size:
+                parts = [pc.take(values, pa.array(kpos + j)) for j in range(k)]
+                keys = pc.binary_join_element_wise(*parts, " ")
+                mask[kpos] = pc.is_in(keys, value_set=vocab).to_numpy(zero_copy_only=False)
+        out.append((k, mask, keys, kpos))
     return out
 
 
@@ -156,7 +181,7 @@ def _greedy_resolve(masks_desc, sent_of: np.ndarray):
     single_mask = None
     multi_any = None
     span_at = np.zeros(len(sent_of), dtype=np.int8)
-    for span, m, _k in reversed(masks_desc):  # ascending: longer spans overwrite
+    for span, m, _k, _p in reversed(masks_desc):  # ascending: longer spans overwrite
         if span == 1:
             single_mask = m
         else:
@@ -203,17 +228,35 @@ def _greedy_resolve(masks_desc, sent_of: np.ndarray):
     return all_pos[order], all_span[order]
 
 
-def _gather_strings(pos: np.ndarray, span: np.ndarray, masks_desc, pc) -> np.ndarray:
-    """Batch-gather the matched key string for each taken (pos, span): one
-    Arrow take per span length instead of per-row .as_py()."""
+def _gather_strings_arrow(pos: np.ndarray, span: np.ndarray, masks_desc, pc):
+    """Batch-gather the matched key string for each taken (pos, span) as ONE
+    Arrow string array in pos order (no per-row .as_py(), no Python strings):
+    one take per span length, concatenated, then permuted back."""
     import pyarrow as pa
 
-    out = np.empty(len(pos), dtype=object)
-    for k, _m, keys in masks_desc:
-        sel = span == k
-        if sel.any():
-            out[sel] = pc.take(keys, pa.array(pos[sel])).to_pylist()
-    return out
+    n = len(pos)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    parts = []
+    sel_parts = []
+    for k, _m, keys, kpos in masks_desc:
+        sel = np.flatnonzero(span == k)
+        if sel.size:
+            p = pos[sel]
+            ix = p if kpos is None else np.searchsorted(kpos, p)
+            parts.append(pc.take(keys, pa.array(ix)))
+            sel_parts.append(sel)
+    cat = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                            for p in parts])
+    inv = np.empty(n, dtype=np.int64)
+    inv[np.concatenate(sel_parts)] = np.arange(len(cat))
+    return cat.take(pa.array(inv))
+
+
+def _gather_strings(pos: np.ndarray, span: np.ndarray, masks_desc, pc) -> np.ndarray:
+    """Object-dtype twin of _gather_strings_arrow (slow-path / test helper)."""
+    arr = _gather_strings_arrow(pos, span, masks_desc, pc)
+    return np.asarray(arr.to_pylist(), dtype=object)
 
 
 # byte classification LUTs for the zero-regex tokenizer (ASCII input only —
@@ -267,7 +310,10 @@ def _tokenize_arrow(sent_arr, pa):
     if s_pos.size == 0:
         return "EMPTY"
     rid = run_id[s_pos]
-    uniq_rid, first_ix = np.unique(rid, return_index=True)
+    # rid is non-decreasing (run_id is non-decreasing along d, s_pos is
+    # ascending), so first-occurrence-by-diff replaces np.unique's sort
+    first_ix = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+    uniq_rid = rid[first_ix]
     tok_start = s_pos[first_ix]                 # first alnum in each token run
     tok_end = run_end_pos[uniq_rid] + 1
     total = tok_start.size
@@ -334,6 +380,30 @@ def _extract_slow(pdf: pd.DataFrame, idx: AliasIndex) -> pd.DataFrame:
     )
 
 
+def _fast_path_ok(texts: pd.Series) -> np.ndarray:
+    """Per-row fast-path eligibility, computed with Arrow kernels: pure ASCII
+    (utf8 codepoint count == byte count) and none of the routing chars
+    (\\x00 sentinel, \\x0b\\x1c-\\x1f whitespace-divergence set). Falls back
+    to the per-row Python check if the column isn't all-string."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(texts.to_numpy(dtype=object), type=pa.string())
+        ascii_ok = pc.equal(pc.utf8_length(arr), pc.binary_length(arr))
+        bad = pc.match_substring_regex(arr, "[\x00\x0b\x1c-\x1f]")
+        return pc.and_(ascii_ok, pc.invert(bad)).to_numpy(zero_copy_only=False)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, TypeError):
+        return np.fromiter(
+            (
+                isinstance(t, str) and t.isascii() and _SLOW_CHARS_RE.search(t) is None
+                for t in texts
+            ),
+            dtype=bool,
+            count=len(texts),
+        )
+
+
 def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
     """One pandas batch of turns (conv_id, turn_idx, text) -> unified
     extraction rows (UNIFIED_SCHEMA of operators.extraction): mention rows
@@ -344,18 +414,12 @@ def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
         return _empty_unified()
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("")
-    ok = np.fromiter(
-        (
-            isinstance(t, str) and t.isascii() and _SLOW_CHARS_RE.search(t) is None
-            for t in texts
-        ),
-        dtype=bool,
-        count=len(texts),
-    )
+    ok = _fast_path_ok(texts)
     if ok.all():
         return _extract_fast(pdf, texts, idx)
     # mixed batch: process maximal ok/!ok runs in order so global row order is
-    # identical to the pure row path
+    # identical to the pure row path; fast segments downgrade their ArrowDtype
+    # string columns to object so the concat matches the slow segments
     out = []
     n = len(pdf)
     run_start = 0
@@ -363,8 +427,9 @@ def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
         if i == n or ok[i] != ok[run_start]:
             seg = pdf.iloc[run_start:i]
             if ok[run_start]:
-                out.append(_extract_fast(seg.reset_index(drop=True),
-                                         texts.iloc[run_start:i].reset_index(drop=True), idx))
+                out.append(_strings_to_object(_extract_fast(
+                    seg.reset_index(drop=True),
+                    texts.iloc[run_start:i].reset_index(drop=True), idx)))
             else:
                 out.append(_extract_slow(seg, idx))
             run_start = i
@@ -372,6 +437,21 @@ def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
     if not out:
         return _empty_unified()
     return pd.concat(out, ignore_index=True)
+
+
+_STRING_COLS = ("surface", "alias_key", "subj_surface", "subj_key",
+                "pred", "obj_surface", "obj_key")
+
+
+def _strings_to_object(df: pd.DataFrame) -> pd.DataFrame:
+    """ArrowDtype string columns -> object dtype with None nulls (the slow
+    path's representation), for mixed-batch concat and direct-pandas users."""
+    for c in _STRING_COLS:
+        s = df[c]
+        if s.dtype != object:
+            o = s.astype(object)
+            df[c] = o.where(pd.notna(o), None)
+    return df
 
 
 def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.DataFrame:
@@ -385,9 +465,18 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     )
     parts = pc.split_pattern(marked, pattern=_SEP)
     p_off = parts.offsets.to_numpy()
-    sent_norm = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(parts.flatten(), pattern=_WS_PAT, replacement=" ")
-    )
+    flat = parts.flatten()
+    # ws-normalize only when some sentence needs it: the boundary \s+ was
+    # consumed by the marker and the text edge-trimmed, so a part is already
+    # normalized unless it has edge ws, a double ws, or a non-space ws char —
+    # one match scan replaces two full rewrite passes on clean batches
+    dirty = pc.match_substring_regex(flat, r"^\s|\s\s|[\t\n\f\r]|\s$")
+    if pc.any(dirty).as_py():
+        sent_norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(flat, pattern=_WS_PAT, replacement=" ")
+        )
+    else:
+        sent_norm = flat
     keep = pc.greater(pc.utf8_length(sent_norm), 1).to_numpy(zero_copy_only=False)
     keep_idx = np.flatnonzero(keep)
     if keep_idx.size == 0:
@@ -427,7 +516,18 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
         pos_in_sent = np.arange(total) - np.repeat(first, cnt)
         tok_abs_start = tok_abs_end = sent_bytes = None
 
-    norm = pc.replace_substring_regex(low, pattern=_TRAIL_PUNCT_PAT, replacement="")
+    # trailing '- strip only when some token actually ends with one (checked
+    # on the raw byte buffer — skips the full regex rewrite on clean batches)
+    norm = low
+    try:
+        _lb = low.buffers()
+        _loff = np.frombuffer(_lb[1], np.int32)[low.offset : low.offset + len(low) + 1]
+        _ldat = np.frombuffer(_lb[2], np.uint8)
+        _last = _ldat[_loff[1:] - 1]  # tokens are non-empty by construction
+        if ((_last == 39) | (_last == 45)).any():  # ' or -
+            norm = pc.replace_substring_regex(low, pattern=_TRAIL_PUNCT_PAT, replacement="")
+    except (TypeError, ValueError, IndexError):
+        norm = pc.replace_substring_regex(low, pattern=_TRAIL_PUNCT_PAT, replacement="")
 
     # --- greedy dictionary match (aliases on norm, predicates on low) ---
     alias_masks = _ngram_masks(norm, sent_of, _pa_vocab(idx), pc)
@@ -448,18 +548,26 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
         mg_start = np.flatnonzero(np.r_[True, ment_sent[1:] != ment_sent[:-1]])
         mg_len = np.diff(np.r_[mg_start, n_m])
         ment_midx = np.arange(n_m) - np.repeat(mg_start, mg_len)
-        ment_key = _gather_strings(m_pos, m_span, alias_masks, pc)
-        ment_surf = np.empty(n_m, dtype=object)
+        ment_key_arr = _gather_strings_arrow(m_pos, m_span, alias_masks, pc)
         if sent_bytes is not None:
             # absolute char offsets are free on the byte path: surface =
-            # sentence buffer slice from first token start to last token end
-            starts = tok_abs_start[m_pos]
-            ends = tok_abs_end[m_pos + m_span - 1]
-            buf = sent_bytes.tobytes()
-            ment_surf[:] = [
-                buf[a:b].decode("ascii") for a, b in zip(starts.tolist(), ends.tolist())
-            ]
+            # sentence buffer slice from first token start to last token end,
+            # gathered into ONE Arrow string buffer (no Python strings)
+            starts = tok_abs_start[m_pos].astype(np.int64)
+            ends = tok_abs_end[m_pos + m_span - 1].astype(np.int64)
+            slens = ends - starts
+            s_off = np.zeros(n_m + 1, dtype=np.int64)
+            np.cumsum(slens, out=s_off[1:])
+            g = np.arange(int(s_off[-1]), dtype=np.int64) + np.repeat(
+                starts - s_off[:-1], slens
+            )
+            ment_surf_arr = pa.Array.from_buffers(
+                pa.string(), n_m,
+                [None, pa.py_buffer(s_off.astype(np.int32).tobytes()),
+                 pa.py_buffer(sent_bytes[g].tobytes())],
+            )
         else:
+            ment_surf = np.empty(n_m, dtype=object)
             single = m_span == 1
             if single.any():
                 ment_surf[single] = pc.take(tok_orig, pa.array(m_pos[single])).to_pylist()
@@ -477,10 +585,11 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
                     cs = toks[int(ment_ts[i])][1]
                     ce = toks[int(ment_te[i]) - 1][2]
                     ment_surf[i] = sent_py[s][cs:ce]
+            ment_surf_arr = pa.array(ment_surf, type=pa.string())
     else:
         ment_midx = np.array([], dtype=np.int64)
-        ment_key = np.array([], dtype=object)
-        ment_surf = np.array([], dtype=object)
+        ment_key_arr = pa.array([], type=pa.string())
+        ment_surf_arr = pa.array([], type=pa.string())
 
     # --- triples: nearest mention before/after each predicate, per sentence ---
     # batch searchsorted over composite (sentence, token-pos) keys: the global
@@ -526,13 +635,23 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     sent_sel = out_sent[order]
     conv_arr = pdf["conv_id"].to_numpy()
     ti_arr = pdf["turn_idx"].to_numpy()
-    none_t = np.full(n_t, None, dtype=object)
-    none_m = np.full(n_m, None, dtype=object)
 
-    def _cat(m_vals, t_vals):
-        return np.concatenate(
-            [np.asarray(m_vals, dtype=object), np.asarray(t_vals, dtype=object)]
-        )[order]
+    # string columns are assembled in Arrow (m-part ++ t-part, one permuted
+    # take) and converted to object in ONE C pass per column. Measured on
+    # Spark 4.1: returning ArrowDtype columns from mapInPandas is ~20% SLOWER
+    # end-to-end than object (the serializer's ArrowExtensionArray path), so
+    # object stays the output representation; the win over r2 is that no
+    # per-value Python string building happens before this point.
+    order_pa = pa.array(order)
+    nulls_m = pa.nulls(n_m, pa.string())
+    nulls_t = pa.nulls(n_t, pa.string())
+    tsubj_pa = pa.array(tsubj) if n_t else None
+    tobj_pa = pa.array(tobj) if n_t else None
+
+    def _s(m_arr, t_arr):
+        return pa.concat_arrays([m_arr, t_arr]).take(order_pa).to_numpy(
+            zero_copy_only=False
+        )
 
     return pd.DataFrame(
         {
@@ -543,19 +662,19 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
             "mention_idx": np.concatenate(
                 [ment_midx, np.full(n_t, -1, dtype=np.int64)]
             )[order].astype("int32"),
-            "surface": _cat(ment_surf, none_t),
-            "alias_key": _cat(ment_key, none_t),
+            "surface": _s(ment_surf_arr, nulls_t),
+            "alias_key": _s(ment_key_arr, nulls_t),
             "tok_start": np.concatenate(
                 [ment_ts, np.full(n_t, -1, dtype=np.int64)]
             )[order].astype("int32"),
             "tok_end": np.concatenate(
                 [ment_te, np.full(n_t, -1, dtype=np.int64)]
             )[order].astype("int32"),
-            "subj_surface": _cat(none_m, ment_surf[tsubj] if n_t else none_t),
-            "subj_key": _cat(none_m, ment_key[tsubj] if n_t else none_t),
-            "pred": _cat(none_m, np.asarray(tri_pred, dtype=object)),
-            "obj_surface": _cat(none_m, ment_surf[tobj] if n_t else none_t),
-            "obj_key": _cat(none_m, ment_key[tobj] if n_t else none_t),
+            "subj_surface": _s(nulls_m, ment_surf_arr.take(tsubj_pa) if n_t else nulls_t),
+            "subj_key": _s(nulls_m, ment_key_arr.take(tsubj_pa) if n_t else nulls_t),
+            "pred": _s(nulls_m, pa.array(tri_pred, type=pa.string())),
+            "obj_surface": _s(nulls_m, ment_surf_arr.take(tobj_pa) if n_t else nulls_t),
+            "obj_key": _s(nulls_m, ment_key_arr.take(tobj_pa) if n_t else nulls_t),
             "confidence": np.concatenate(
                 [np.full(n_m, np.nan), tri_conf]
             )[order],

@@ -178,7 +178,13 @@ def _norm_unified(df):
     df["conv_id"] = df["conv_id"].astype(str)
     df["turn_idx"] = df["turn_idx"].astype("int64")
     df["kind"] = df["kind"].astype(object)
-    return df
+    # the fast path returns ArrowDtype string columns (pd.NA nulls); compare
+    # both paths in the object/None representation
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.vectorized import (
+        _strings_to_object,
+    )
+
+    return _strings_to_object(df)
 
 
 @given(
