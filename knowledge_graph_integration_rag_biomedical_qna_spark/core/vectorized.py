@@ -380,63 +380,114 @@ def _extract_slow(pdf: pd.DataFrame, idx: AliasIndex) -> pd.DataFrame:
     )
 
 
-def _fast_path_ok(texts: pd.Series) -> np.ndarray:
-    """Per-row fast-path eligibility, computed with Arrow kernels: pure ASCII
+def _fast_path_ok_arrow(texts) -> np.ndarray:
+    """Per-row fast-path eligibility over an Arrow string array: pure ASCII
     (utf8 codepoint count == byte count) and none of the routing chars
-    (\\x00 sentinel, \\x0b\\x1c-\\x1f whitespace-divergence set). Falls back
-    to the per-row Python check if the column isn't all-string."""
-    try:
-        import pyarrow as pa
-        import pyarrow.compute as pc
+    (\\x00 sentinel, \\x0b\\x1c-\\x1f whitespace-divergence set)."""
+    import pyarrow.compute as pc
 
-        arr = pa.array(texts.to_numpy(dtype=object), type=pa.string())
-        ascii_ok = pc.equal(pc.utf8_length(arr), pc.binary_length(arr))
-        bad = pc.match_substring_regex(arr, "[\x00\x0b\x1c-\x1f]")
-        return pc.and_(ascii_ok, pc.invert(bad)).to_numpy(zero_copy_only=False)
-    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, TypeError):
-        return np.fromiter(
-            (
-                isinstance(t, str) and t.isascii() and _SLOW_CHARS_RE.search(t) is None
-                for t in texts
-            ),
-            dtype=bool,
-            count=len(texts),
+    ascii_ok = pc.equal(pc.utf8_length(texts), pc.binary_length(texts))
+    bad = pc.match_substring_regex(texts, "[\x00\x0b\x1c-\x1f]")
+    return pc.and_(ascii_ok, pc.invert(bad)).to_numpy(zero_copy_only=False)
+
+
+def _unified_pa_schema():
+    import pyarrow as pa
+
+    key = "__unified_schema__"
+    hit = _PA_VOCAB_CACHE.get(key)
+    if hit is None:
+        hit = pa.schema(
+            [
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("sent_idx", pa.int32()), ("kind", pa.string()),
+                ("mention_idx", pa.int32()), ("surface", pa.string()),
+                ("alias_key", pa.string()), ("tok_start", pa.int32()),
+                ("tok_end", pa.int32()), ("subj_surface", pa.string()),
+                ("subj_key", pa.string()), ("pred", pa.string()),
+                ("obj_surface", pa.string()), ("obj_key", pa.string()),
+                ("confidence", pa.float64()),
+            ]
         )
+        _PA_VOCAB_CACHE[key] = hit
+    return hit
+
+
+def extract_unified_batches(conv, turn, texts, alias_keys):
+    """Arrow-native core: (conv_id, turn_idx, text) Arrow arrays -> iterator
+    of unified-extraction RecordBatches (UNIFIED_SCHEMA order), no pandas on
+    the fast path in EITHER direction — this is what mapInArrow calls, so the
+    per-row Python-string materialization of the mapInPandas input/output
+    conversion layers never happens. Mixed batches yield one RecordBatch per
+    maximal fast/slow run, preserving exact row order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx: AliasIndex = _as_index(alias_keys)
+    if len(texts) == 0:
+        return
+    texts = pc.fill_null(texts, "")
+    ok = _fast_path_ok_arrow(texts)
+    if ok.all():
+        rb = _extract_fast(conv, turn, texts, idx)
+        if rb is not None:
+            yield rb
+        return
+    n = len(texts)
+    run_start = 0
+    for i in range(1, n + 1):
+        if i == n or ok[i] != ok[run_start]:
+            ln = i - run_start
+            if ok[run_start]:
+                rb = _extract_fast(
+                    conv.slice(run_start, ln), turn.slice(run_start, ln),
+                    texts.slice(run_start, ln), idx,
+                )
+                if rb is not None:
+                    yield rb
+            else:
+                seg = pd.DataFrame(
+                    {
+                        "conv_id": conv.slice(run_start, ln).to_pylist(),
+                        "turn_idx": turn.slice(run_start, ln).to_pylist(),
+                        "text": texts.slice(run_start, ln).to_pylist(),
+                    }
+                )
+                slow = _extract_slow(seg, idx)
+                if len(slow):
+                    yield pa.RecordBatch.from_pandas(
+                        slow, schema=_unified_pa_schema(), preserve_index=False
+                    )
+            run_start = i
 
 
 def extract_unified_pdf(pdf: pd.DataFrame, alias_keys) -> pd.DataFrame:
     """One pandas batch of turns (conv_id, turn_idx, text) -> unified
     extraction rows (UNIFIED_SCHEMA of operators.extraction): mention rows
     (kind='m') then triple rows (kind='t') per sentence, in sentence order —
-    the exact row set AND row order of the per-row Python path."""
-    idx: AliasIndex = _as_index(alias_keys)
+    the exact row set AND row order of the per-row Python path. Pandas facade
+    over extract_unified_batches (tests / direct callers); the Spark hot path
+    uses the Arrow batches directly."""
+    import pyarrow as pa
+
     if len(pdf) == 0:
         return _empty_unified()
     pdf = pdf.reset_index(drop=True)
-    texts = pdf["text"].fillna("")
-    ok = _fast_path_ok(texts)
-    if ok.all():
-        return _extract_fast(pdf, texts, idx)
-    # mixed batch: process maximal ok/!ok runs in order so global row order is
-    # identical to the pure row path; fast segments downgrade their ArrowDtype
-    # string columns to object so the concat matches the slow segments
-    out = []
-    n = len(pdf)
-    run_start = 0
-    for i in range(1, n + 1):
-        if i == n or ok[i] != ok[run_start]:
-            seg = pdf.iloc[run_start:i]
-            if ok[run_start]:
-                out.append(_strings_to_object(_extract_fast(
-                    seg.reset_index(drop=True),
-                    texts.iloc[run_start:i].reset_index(drop=True), idx)))
-            else:
-                out.append(_extract_slow(seg, idx))
-            run_start = i
-    out = [o for o in out if len(o)]
-    if not out:
+    conv = pa.array(pdf["conv_id"].to_numpy(dtype=object), type=pa.string())
+    turn = pa.array(pdf["turn_idx"].to_numpy())
+    try:
+        texts = pa.array(pdf["text"].to_numpy(dtype=object), type=pa.string())
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, TypeError):
+        # non-string garbage in text: normalize like the slow path would
+        texts = pa.array(
+            [t if isinstance(t, str) else "" for t in pdf["text"]], type=pa.string()
+        )
+    batches = list(extract_unified_batches(conv, turn, texts, alias_keys))
+    if not batches:
         return _empty_unified()
-    return pd.concat(out, ignore_index=True)
+    out = pa.Table.from_batches(batches, schema=_unified_pa_schema()).to_pandas()
+    out["kind"] = out["kind"].astype(object)
+    return out
 
 
 _STRING_COLS = ("surface", "alias_key", "subj_surface", "subj_key",
@@ -454,12 +505,15 @@ def _strings_to_object(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.DataFrame:
+def _extract_fast(conv, turn, texts, idx: AliasIndex):
+    """All-ASCII fast path: (conv, turn, texts) Arrow arrays -> one unified
+    RecordBatch (or None when there is nothing to emit). Arrow/numpy end to
+    end; Python touches only hit positions."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     # --- sentences: strip -> mark terminator boundaries -> split -> ws-normalize ---
-    arr = pa.array(texts.to_numpy(dtype=object), type=pa.string())
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     marked = pc.replace_substring_regex(
         pc.utf8_trim_whitespace(arr), pattern=_SENT_MARK_PAT, replacement="\\1" + _SEP
     )
@@ -480,9 +534,9 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     keep = pc.greater(pc.utf8_length(sent_norm), 1).to_numpy(zero_copy_only=False)
     keep_idx = np.flatnonzero(keep)
     if keep_idx.size == 0:
-        return _empty_unified()
+        return None
     sent_arr = pc.take(sent_norm, pa.array(keep_idx))
-    row_of_sent = np.repeat(np.arange(len(pdf)), np.diff(p_off))[keep_idx]
+    row_of_sent = np.repeat(np.arange(len(arr)), np.diff(p_off))[keep_idx]
     nsent = keep_idx.size
     grp_start = np.flatnonzero(np.r_[True, row_of_sent[1:] != row_of_sent[:-1]])
     grp_len = np.diff(np.r_[grp_start, nsent])
@@ -492,7 +546,7 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     # to the RE2 split pipeline if buffer assumptions don't hold) ---
     tk = _tokenize_arrow(sent_arr, pa)
     if tk == "EMPTY":
-        return _empty_unified()
+        return None
     if tk is not None:
         low, sent_of, pos_in_sent, tok_abs_start, tok_abs_end, sent_bytes = tk
         total = len(sent_of)
@@ -507,7 +561,7 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
         )
         total = nz_idx.size
         if total == 0:
-            return _empty_unified()
+            return None
         tok_orig = pc.take(tok_raw, pa.array(nz_idx))
         low = pc.utf8_lower(tok_orig)
         sent_of = np.repeat(np.arange(nsent), np.diff(f_off))[nz_idx]
@@ -626,57 +680,50 @@ def _extract_fast(pdf: pd.DataFrame, texts: pd.Series, idx: AliasIndex) -> pd.Da
     n_t = len(tri_sent_a)
     n_out = n_m + n_t
     if n_out == 0:
-        return _empty_unified()
+        return None
     out_sent = np.concatenate([ment_sent, tri_sent_a])
     kind_rank = np.concatenate([np.zeros(n_m, dtype=np.int8), np.ones(n_t, dtype=np.int8)])
     within = np.concatenate([np.arange(n_m), np.arange(n_t)])
     order = np.lexsort((within, kind_rank, out_sent))
     is_m = kind_rank[order] == 0
     sent_sel = out_sent[order]
-    conv_arr = pdf["conv_id"].to_numpy()
-    ti_arr = pdf["turn_idx"].to_numpy()
 
-    # string columns are assembled in Arrow (m-part ++ t-part, one permuted
-    # take) and converted to object in ONE C pass per column. Measured on
-    # Spark 4.1: returning ArrowDtype columns from mapInPandas is ~20% SLOWER
-    # end-to-end than object (the serializer's ArrowExtensionArray path), so
-    # object stays the output representation; the win over r2 is that no
-    # per-value Python string building happens before this point.
+    # every column is assembled as an Arrow array (m-part ++ t-part, one
+    # permuted take) and the batch goes straight back through mapInArrow —
+    # no pandas object arrays in EITHER direction on the fast path
     order_pa = pa.array(order)
+    row_take = pa.array(row_of_sent[sent_sel])
     nulls_m = pa.nulls(n_m, pa.string())
     nulls_t = pa.nulls(n_t, pa.string())
     tsubj_pa = pa.array(tsubj) if n_t else None
     tobj_pa = pa.array(tobj) if n_t else None
 
     def _s(m_arr, t_arr):
-        return pa.concat_arrays([m_arr, t_arr]).take(order_pa).to_numpy(
-            zero_copy_only=False
+        return pa.concat_arrays([m_arr, t_arr]).take(order_pa)
+
+    def _i32(m_vals, t_fill):
+        return pa.array(
+            np.concatenate([m_vals, np.full(n_t, t_fill, dtype=np.int64)])[order]
+            .astype(np.int32)
         )
 
-    return pd.DataFrame(
-        {
-            "conv_id": conv_arr[row_of_sent[sent_sel]],
-            "turn_idx": ti_arr[row_of_sent[sent_sel]].astype("int32"),
-            "sent_idx": sent_idx_arr[sent_sel].astype("int32"),
-            "kind": np.where(is_m, "m", "t"),
-            "mention_idx": np.concatenate(
-                [ment_midx, np.full(n_t, -1, dtype=np.int64)]
-            )[order].astype("int32"),
-            "surface": _s(ment_surf_arr, nulls_t),
-            "alias_key": _s(ment_key_arr, nulls_t),
-            "tok_start": np.concatenate(
-                [ment_ts, np.full(n_t, -1, dtype=np.int64)]
-            )[order].astype("int32"),
-            "tok_end": np.concatenate(
-                [ment_te, np.full(n_t, -1, dtype=np.int64)]
-            )[order].astype("int32"),
-            "subj_surface": _s(nulls_m, ment_surf_arr.take(tsubj_pa) if n_t else nulls_t),
-            "subj_key": _s(nulls_m, ment_key_arr.take(tsubj_pa) if n_t else nulls_t),
-            "pred": _s(nulls_m, pa.array(tri_pred, type=pa.string())),
-            "obj_surface": _s(nulls_m, ment_surf_arr.take(tobj_pa) if n_t else nulls_t),
-            "obj_key": _s(nulls_m, ment_key_arr.take(tobj_pa) if n_t else nulls_t),
-            "confidence": np.concatenate(
-                [np.full(n_m, np.nan), tri_conf]
-            )[order],
-        }
-    )
+    conv_a = conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
+    turn_a = turn.combine_chunks() if isinstance(turn, pa.ChunkedArray) else turn
+    cols = [
+        conv_a.take(row_take),
+        pc.cast(turn_a.take(row_take), pa.int32()),
+        pa.array(sent_idx_arr[sent_sel].astype(np.int32)),
+        pc.if_else(pa.array(is_m), pa.scalar("m"), pa.scalar("t")),
+        _i32(ment_midx, -1),
+        _s(ment_surf_arr, nulls_t),
+        _s(ment_key_arr, nulls_t),
+        _i32(ment_ts, -1),
+        _i32(ment_te, -1),
+        _s(nulls_m, ment_surf_arr.take(tsubj_pa) if n_t else nulls_t),
+        _s(nulls_m, ment_key_arr.take(tsubj_pa) if n_t else nulls_t),
+        _s(nulls_m, pa.array(tri_pred, type=pa.string())),
+        _s(nulls_m, ment_surf_arr.take(tobj_pa) if n_t else nulls_t),
+        _s(nulls_m, ment_key_arr.take(tobj_pa) if n_t else nulls_t),
+        pa.array(np.concatenate([np.full(n_m, np.nan), tri_conf])[order]),
+    ]
+    return pa.RecordBatch.from_arrays(cols, schema=_unified_pa_schema())

@@ -55,36 +55,50 @@ _MENTION_COLS = list(MENTIONS_SCHEMA.fieldNames())
 _TRIPLE_COLS = list(RAW_TRIPLES_SCHEMA.fieldNames())
 
 
+def _unified_batches_fn(alias_keys_bc, kind: str | None = None, cols: list | None = None):
+    """mapInArrow body: RecordBatch in -> unified RecordBatches out, with an
+    optional in-pass kind filter + column projection (Arrow kernels, no
+    pandas)."""
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        from ..core.vectorized import extract_unified_batches
+
+        keys = alias_keys_bc.value
+        for batch in batches:
+            for rb in extract_unified_batches(
+                batch.column("conv_id"), batch.column("turn_idx"),
+                batch.column("text"), keys,
+            ):
+                if kind is not None:
+                    rb = rb.filter(pc.equal(rb.column("kind"), kind))
+                if cols is not None:
+                    rb = rb.select(cols)
+                if len(rb):
+                    yield rb
+
+    return fn
+
+
 def detect_mentions_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     """mentions(conv_id, turn_idx, sent_idx, mention_idx, surface, alias_key,
     tok_start, tok_end) — one row per dictionary hit. Runs the vectorized
     kernel and projects the mention rows inside the same Arrow pass."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core.vectorized import extract_unified_pdf
-
-        keys = alias_keys_bc.value
-        for pdf in batches:
-            u = extract_unified_pdf(pdf, keys)
-            yield u[u["kind"] == "m"][_MENTION_COLS]
-
-    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, MENTIONS_SCHEMA)
+    return turns.select("conv_id", "turn_idx", "text").mapInArrow(
+        _unified_batches_fn(alias_keys_bc, kind="m", cols=_MENTION_COLS),
+        MENTIONS_SCHEMA,
+    )
 
 
 def extract_triples_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     """raw_triples(conv_id, turn_idx, sent_idx, subj/pred/obj surfaces+keys,
     confidence) — unlinked SVO pattern hits (vectorized kernel, triple rows
     projected in-pass)."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core.vectorized import extract_unified_pdf
-
-        keys = alias_keys_bc.value
-        for pdf in batches:
-            u = extract_unified_pdf(pdf, keys)
-            yield u[u["kind"] == "t"][_TRIPLE_COLS]
-
-    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, RAW_TRIPLES_SCHEMA)
+    return turns.select("conv_id", "turn_idx", "text").mapInArrow(
+        _unified_batches_fn(alias_keys_bc, kind="t", cols=_TRIPLE_COLS),
+        RAW_TRIPLES_SCHEMA,
+    )
 
 
 UNIFIED_SCHEMA = T.StructType(
@@ -121,15 +135,14 @@ def extract_all_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     interpreted Python only on hit positions. Property-tested row-for-row
     equal to the per-row matcher (`row_path_unified_pdf` below), which it
     replaced after profiling showed the per-token Python loop at ~20k
-    turns/s/core was the pipeline's 100x-scale bottleneck."""
-    from ..core.vectorized import extract_unified_pdf
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys = alias_keys_bc.value
-        for pdf in batches:
-            yield extract_unified_pdf(pdf, keys)
-
-    return turns.select("conv_id", "turn_idx", "text").mapInPandas(fn, UNIFIED_SCHEMA)
+    turns/s/core was the pipeline's 100x-scale bottleneck. r3: the stage runs
+    through mapInArrow — the kernel is Arrow-native in both directions, so
+    the mapInPandas conversion layers (Arrow -> per-row Python strings on
+    input, object arrays -> Arrow on output) are gone entirely; they were
+    ~10x the kernel's own core-time at 32 workers."""
+    return turns.select("conv_id", "turn_idx", "text").mapInArrow(
+        _unified_batches_fn(alias_keys_bc), UNIFIED_SCHEMA
+    )
 
 
 def row_path_unified_pdf(pdf: pd.DataFrame, keys) -> pd.DataFrame:

@@ -37,13 +37,26 @@ def _link_score_udf(surface: pd.Series, alias: pd.Series, prior: pd.Series) -> p
     )
 
 
-def candidate_table(mentions_or_triples_surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
+def candidate_table(
+    mentions_or_triples_surfaces: DataFrame,
+    aliases: DataFrame,
+    score_partitions: int | None = None,
+) -> DataFrame:
     """(alias_key, surface) x broadcast aliases -> scored, ranked candidates.
 
     Input must have columns (alias_key, surface); output adds
     (cui, prior, score, rank) with rank 1..k, deterministic order.
-    """
+
+    `score_partitions`: coalesce the distinct-surface table before the
+    pandas-UDF scoring stage. The table is vocabulary-sized — far smaller
+    than the session's transcript parallelism — so running it at full width
+    mostly pays per-task scheduling + Python-worker spin-up (measured 35% of
+    the stage at local[32] with a 9-surface vocabulary). build_kg passes
+    parallelism/16, which still gives a UMLS-scale vocabulary (~16M surfaces)
+    tens-to-hundreds of score tasks on a real cluster."""
     surfaces = mentions_or_triples_surfaces.select("alias_key", "surface").distinct()
+    if score_partitions is not None:
+        surfaces = surfaces.coalesce(max(1, score_partitions))
     cands = surfaces.join(F.broadcast(aliases), "alias_key", "inner").withColumn(
         "score", _link_score_udf(F.col("surface"), F.col("alias"), F.col("prior"))
     )

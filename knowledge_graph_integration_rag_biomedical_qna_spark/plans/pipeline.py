@@ -192,7 +192,10 @@ def build_kg(
     if persist:
         mention_stats = mention_stats.persist()
 
-    candidates = candidate_table(mention_stats.select("alias_key", "surface"), aliases)
+    candidates = candidate_table(
+        mention_stats.select("alias_key", "surface"), aliases,
+        score_partitions=spark.sparkContext.defaultParallelism // 16 or 1,
+    )
     resolution = resolution_table(candidates)
     if persist:
         resolution = resolution.persist()
