@@ -923,6 +923,57 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_duplicate_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+      GROUP BY sa.id, sb.id
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+      WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    SELECT id AS doc_id, min(reach) AS group_id FROM walk GROUP BY id
+    """,
+)
+def dedup_duplicate_groups(spark, sf_dir):
+    """Near-dup PAIRS -> duplicate GROUPS: hash-to-min connected components
+    over the exact n-gram-Jaccard pair graph (threshold 0.5). group_id = min
+    doc_id of the component; downstream dedup keeps one representative per
+    group. The oracle computes the same transitive closure with a DuckDB
+    recursive CTE. Reference analog: the dedup-by-query grouping the
+    filtering pipeline applies before scoring (rag2-filtering/main.py:34-96),
+    generalized to transitive duplicate clusters."""
+    from .operators.dedup import connected_components, jaccard_verify, with_shingles
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    sh = with_shingles(docs, n=3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    pairs = jaccard_verify(cand, sh, threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+
+
+@q(
     "dedup_minhash_pairs_fast",
     f"""
     WITH {_SHINGLE_CTE},
@@ -2074,7 +2125,7 @@ _GATE_ORDER = [
     "a6_dedup_first_seen", "a7_canonical_grouping", "t1_topk_per_group",
     "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
     "f_json_extract", "window_running_sum", "rollup_aggregates",
-    "pivot_linestatus", "hourly_event_counts",
+    "pivot_linestatus", "hourly_event_counts", "dedup_duplicate_groups",
 ]
 
 assert set(_GATE_ORDER) == set(REGISTRY), (

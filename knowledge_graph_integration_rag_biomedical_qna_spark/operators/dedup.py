@@ -455,3 +455,64 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .distinct()
     )
+
+
+# --- duplicate-group resolution (connected components) -----------------------
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, group_id) for every id appearing in `pairs`, where group_id is
+    the MIN id of its connected component — the step that turns verified
+    near-dup PAIRS into deduplicatable GROUPS (keep one representative per
+    group, drop the rest).
+
+    Algorithm: hash-to-min label propagation — each iteration every node
+    takes the min of its own label and its neighbors' labels (one join + one
+    min-aggregate per iteration, both on the edge table's keys), converging
+    in O(graph diameter) iterations; near-dup components are overwhelmingly
+    tiny cliques/chains, so 2-4 iterations is typical. Convergence is
+    detected distributively (count of label changes); `max_iters` bounds the
+    driver loop. Each iteration's labels are persisted and the previous
+    iteration unpersisted, so lineage stays shallow at scale."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))

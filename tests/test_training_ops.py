@@ -529,3 +529,18 @@ def test_multimodal_real_png_and_wav_decode(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (3, 2, 1)
     assert out[2]["n_frames"] == n_samples
     assert out[2]["width"] is None
+
+
+def test_connected_components_transitive_chain(spark):
+    """Pairs A-B and B-C (A,C never directly paired) must land in ONE group
+    with group_id = min id; disjoint pair D-E gets its own group; convergence
+    needs >1 hash-to-min iteration on the 1-2-3-4-5 path graph."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["group_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
