@@ -125,8 +125,20 @@ def broadcast_alias_keys(
     from ..core.patterns import AliasIndex
 
     distinct = aliases.select("alias_key").distinct()
-    # overflow detection is a distributed count — never ship 20M keys to the
-    # driver just to notice there are too many of them (r2 advice)
+    # size probe: one limit(1M+1)+collect detects-and-fetches dictionaries up
+    # to 1M keys (~tens of MB — harmless) in a single job, which is the
+    # overwhelmingly common case. Only when the probe overflows does a
+    # distributed count() decide broadcast-vs-spill, so the driver never
+    # receives max_broadcast_keys(=20M) rows just to notice there are too
+    # many of them (r2 advice).
+    probe_cap = min(max_broadcast_keys, 1_000_000)
+    probe = distinct.limit(probe_cap + 1).collect()
+    if len(probe) <= probe_cap:
+        idx = AliasIndex(frozenset(r[0] for r in probe))
+        try:
+            return spark.sparkContext.broadcast(idx)
+        except Exception:  # Spark Connect: no SparkContext on the client
+            return _ClosureBroadcast(idx)
     n_keys = distinct.count()
     if n_keys > max_broadcast_keys:
         import os
