@@ -103,6 +103,25 @@ def main() -> None:
     timings["kg_pipeline_steady_x20"] = kg_sec
     turns_per_sec = round(n_turns / kg_sec, 1) if kg_sec > 0 else 0.0
 
+    # the at-scale storage layout: the same input written BUCKETED by conv_id
+    # (one-time cost amortized across every downstream job at 100 TB) makes
+    # stage [1] exchange-free — the whole pipeline runs with ZERO data-sized
+    # shuffles (plan-tested in tests/test_bucketing.py)
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import write_bucketed
+
+    write_bucketed(big_tr, "bench_transcripts_bucketed", "conv_id", cpus)
+    bt = spark.table("bench_transcripts_bucketed")
+    kgb_sec = None
+    for _rep in range(2):
+        t0 = time.time()
+        kg = build_kg(spark, bt, aliases, persist=True, assume_clustered=True)
+        kg.kg_edges.count()
+        kg.kg_nodes.count()
+        dt = round(time.time() - t0, 3)
+        kg.unpersist()
+        kgb_sec = dt if kgb_sec is None or dt < kgb_sec else kgb_sec
+    timings["kg_pipeline_steady_bucketed_x20"] = kgb_sec
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

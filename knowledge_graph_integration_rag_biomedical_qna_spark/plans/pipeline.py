@@ -171,6 +171,7 @@ def build_kg(
     transcripts: DataFrame,
     aliases: DataFrame,
     persist: bool = True,
+    assume_clustered: bool = False,
 ) -> KGResult:
     """Compose stages [1]-[6].
 
@@ -181,10 +182,16 @@ def build_kg(
     jobs too large to cache, use plans.checkpoint.ResumableKGRun, which
     materializes stage boundaries to storage instead (the reference's JSON
     stage files, done right).
+
+    `assume_clustered=True` declares the input already bucketed by conv_id
+    (sources.io.write_bucketed): stage [1] skips its repartition and the
+    whole pipeline runs with ZERO data-sized exchanges (plan-tested in
+    tests/test_bucketing.py) — the right storage layout at 100 TB, where
+    one bucketed write amortizes the shuffle across every downstream job.
     """
     from pyspark.sql import functions as F
 
-    turns = assemble_turns(transcripts)
+    turns = assemble_turns(transcripts, assume_clustered=assume_clustered)
     keys_bc = broadcast_alias_keys(spark, aliases)
     # one Arrow pass over the turn text produces BOTH mentions and triples;
     # the persisted unified table is the stage boundary both branches reuse

@@ -47,3 +47,29 @@ def test_turn_assembly_zero_shuffle_on_bucketed_input(spark, fixture_dir):
         assert turns.count() == assemble_turns(transcripts).count()
     finally:
         spark.sql("DROP TABLE IF EXISTS transcripts_bucketed2")
+
+
+def test_build_kg_bucketed_equals_shuffled(spark, fixture_dir):
+    """build_kg(assume_clustered=True) over a bucketed transcripts table:
+    zero data-sized exchanges before extraction AND edge-for-edge identical
+    output to the shuffling path."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import (
+        synth_aliases,
+        synth_transcripts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = synth_transcripts(docs)
+    aliases = synth_aliases(spark)
+    write_bucketed(transcripts, "transcripts_bucketed3", "conv_id", 8)
+    try:
+        bt = spark.table("transcripts_bucketed3")
+        kg_b = build_kg(spark, bt, aliases, persist=False, assume_clustered=True)
+        kg_s = build_kg(spark, transcripts, aliases, persist=False)
+        cols = ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"]
+        a = sorted(map(tuple, kg_b.kg_edges.select(cols).collect()))
+        b = sorted(map(tuple, kg_s.kg_edges.select(cols).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transcripts_bucketed3")
