@@ -252,3 +252,57 @@ def test_candidate_ranking_parity_with_oracle(kg, gold, tables):
         key = (r["surface"], r["rank"])
         assert key in got_map, key
         assert got_map[key] == (r["cui"], round(r["score"], 6)), key
+
+
+def test_adversarial_inputs_match_pandas_oracle(spark):
+    """build_kg == oracle_turns+oracle_triples on hostile inputs: unicode,
+    emoji, the \\x00 sentinel, null text, whitespace-only text, a duplicate
+    (conv_id, turn_idx) whose first-wins winner is whitespace-only (the turn
+    must then vanish: dedup happens BEFORE the empty-text filter, both
+    engines), RE2-divergent \\x0b, and mixed casing/whitespace."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.oracle.pipeline import (
+        oracle_triples,
+        oracle_turns,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import build_kg
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import (
+        synth_aliases,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "spark treats window. batch inhibits stream!", None, ts),
+        ("c1", 1, "assistant", "café über spark treats stream.", None, ts),
+        ("c1", 2, "user", "emoji \U0001f600 spark causes column. done.", None, ts),
+        ("c2", 0, "user", "null byte \x00 spark treats batch.", None, ts),
+        ("c2", 1, "user", None, None, ts),
+        ("c2", 2, "user", "   \t\n  ", None, ts),
+        ("c2", 2, "user", "dup turn: vector prevents stream.", None, ts),
+        ("c3", 0, "user", "a.\x0bvector treats batch.", None, ts),
+        ("c3", 1, "user", "tabs\tand  double  spaces. spark activates table .", None, ts),
+        ("c3", 2, "user", "spark TREATS Window; STREAM causes BATCH.", None, ts),
+    ]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    aliases = synth_aliases(spark)
+    kg = build_kg(spark, tr, aliases, persist=False)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["subj_cui"], r["pred"], r["obj_cui"],
+         round(r["confidence"], 6))
+        for r in kg.kg_edges.collect()
+    )
+    want = oracle_triples(oracle_turns(pd.DataFrame(rows, columns=cols)), aliases.toPandas())
+    want_t = sorted(
+        (r.conv_id, int(r.turn_idx), r.subj_cui, r.pred, r.obj_cui,
+         round(float(r.confidence), 6))
+        for r in want.itertuples()
+    )
+    assert got == want_t and len(got) > 0
+    # the shadowed c2 turn 2 must contribute nothing in BOTH engines
+    assert not any(c == "c2" and t == 2 for c, t, *_ in got)
