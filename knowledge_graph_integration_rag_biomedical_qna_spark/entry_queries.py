@@ -923,6 +923,153 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "corpus_clean_pipeline",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+      GROUP BY sa.id, sb.id
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+      WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS group_id FROM walk GROUP BY id),
+    er AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY md5(text)),
+    lc AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS n_en,
+             len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS n_fr,
+             len(list_filter(toks, t -> t IN ('el','los','las','una','por'))) AS n_es,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ein'))) AS n_de
+      FROM lc
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+                  WHEN n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+                  WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+                  WHEN n_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM cnt
+    ),
+    qbase AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    qratios AS (
+      SELECT doc_id,
+             n_punct / greatest(length(text), 1) AS pr,
+             len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+               / greatest(len(toks), 1) AS sr,
+             (length(text) BETWEEN 30 AND 10000) AS len_ok
+      FROM qbase
+    ),
+    qual AS (
+      SELECT doc_id,
+             CAST(floor((0.4 * (CASE WHEN len_ok THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (1.0 - least(pr * 4, 1.0))
+                   + 0.3 * least(sr * 5, 1.0)) * 100000) AS BIGINT) AS quality_u5
+      FROM qratios
+    )
+    SELECT d.doc_id,
+           l.lang_pred,
+           q.quality_u5,
+           (d.doc_id = er.rep) AS is_exact_rep,
+           (c.group_id IS NULL OR c.group_id = d.doc_id) AS is_near_rep,
+           (l.lang_pred = 'en' AND q.quality_u5 >= 50000
+            AND d.doc_id = er.rep
+            AND (c.group_id IS NULL OR c.group_id = d.doc_id)) AS keep
+    FROM documents d
+    JOIN er ON md5(d.text) = er.h
+    JOIN lang l ON l.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The full training-corpus cleaning pass a data pipeline runs before
+    tokenization, composed from the engine's own operators: language-ID,
+    quality scoring, exact dedup (md5 representative), and transitive
+    near-dup group resolution — one keep/drop verdict per document.
+    keep = english AND quality >= 0.5 AND exact representative AND (not
+    near-duplicated OR the group representative)."""
+    from .operators.dedup import connected_components, jaccard_verify, with_shingles
+    from .operators.text_analysis import STOPWORDS, lang_id
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    # exact-dup representative
+    er = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep"))
+    # near-dup groups (exact n-gram Jaccard pairs @0.5 -> components)
+    sh = with_shingles(docs, n=3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    comp = connected_components(jaccard_verify(cand, sh, threshold=0.5))
+    # quality (same floor-scaled formula as text_quality_score)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pr = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    sr = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    len_ok = (F.length("text") >= 30) & (F.length("text") <= 10000)
+    quality_u5 = F.floor(
+        (0.4 * len_ok.cast("double")
+         + 0.3 * (F.lit(1.0) - F.least(pr * 4, F.lit(1.0)))
+         + 0.3 * F.least(sr * 5, F.lit(1.0))) * 100000
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_u5.alias("quality_u5"),
+        F.md5("text").alias("h"),
+    )
+    out = (
+        scored.join(er, "h")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_u5",
+            (F.col("doc_id") == F.col("rep")).alias("is_exact_rep"),
+            (F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))).alias(
+                "is_near_rep"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_u5") >= 50000)
+        & F.col("is_exact_rep")
+        & F.col("is_near_rep"),
+    )
+
+
+@q(
     "dedup_duplicate_groups",
     f"""
     WITH RECURSIVE {_SHINGLE_CTE},
@@ -2126,6 +2273,7 @@ _GATE_ORDER = [
     "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
     "f_json_extract", "window_running_sum", "rollup_aggregates",
     "pivot_linestatus", "hourly_event_counts", "dedup_duplicate_groups",
+    "corpus_clean_pipeline",
 ]
 
 assert set(_GATE_ORDER) == set(REGISTRY), (
