@@ -476,18 +476,21 @@ def connected_components(
     in O(graph diameter) iterations; near-dup components are overwhelmingly
     tiny cliques/chains, so 2-4 iterations is typical. Convergence is
     detected distributively (count of label changes); `max_iters` bounds the
-    driver loop. Each iteration's labels are persisted and the previous
-    iteration unpersisted, so lineage stays shallow at scale."""
+    driver loop (a warning is raised if the cap fires before convergence).
+    Each iteration's labels are localCheckpoint'ed: iterative DataFrame
+    self-joins grow the LOGICAL plan (persist alone does not truncate it),
+    and past ~20 nested iterations the analyzer/AQE cost explodes — lineage
+    truncation is what keeps iteration k as cheap as iteration 1."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -503,7 +506,7 @@ def connected_components(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -511,8 +514,16 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after max_iters={max_iters} "
+            "(component diameter exceeds the cap); labels may be split — "
+            "raise max_iters"
+        )
     return labels.select(F.col("id"), F.col("label").alias("group_id"))

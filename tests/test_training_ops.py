@@ -544,3 +544,44 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r["id"]: r["group_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check on deterministic pseudo-random graphs: hash-to-min
+    components == a classic union-find reference, across sizes/densities
+    (including multi-iteration diameters)."""
+    import hashlib
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+
+    for n, m, seed in [(50, 30, 1), (200, 150, 2), (200, 400, 3)]:
+        pairs = []
+        for e in range(m):
+            a = h(seed * 10_000 + e) % n
+            b = h(seed * 10_000 + e + 500_000) % n
+            if a != b:
+                pairs.append((min(a, b), max(a, b)))
+        pairs = sorted(set(pairs))
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {x for p in pairs for x in p}
+        want = {x: find(x) for x in in_graph}
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["id"]: r["group_id"] for r in connected_components(df).collect()}
+        assert got == want, (n, m, seed)
