@@ -905,20 +905,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     shared shingles (a pair is scored iff it shares >= 1 shingle, which any
     pair at jaccard >= threshold > 0 must), exact Jaccard, threshold filter.
     This is the dedup family's exact baseline; the MinHash/SimHash variants
-    are its sub-quadratic approximations — at 100 TB use those (a globally
-    hot shingle makes this join quadratic in its document frequency)."""
-    from .operators.dedup import jaccard_verify, with_shingles
+    are its sub-quadratic approximations — at 100 TB use those, or pass
+    max_shingle_df to inverted_index_candidates (hot boilerplate shingles
+    leave candidate generation with a logged drop line)."""
+    from .operators.dedup import inverted_index_candidates, jaccard_verify, with_shingles
 
     docs = _t_wide(spark, sf_dir, "documents")
     sh = with_shingles(docs, n=3)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = inverted_index_candidates(sh)
     return jaccard_verify(cand, sh, threshold=0.5)
 
 
@@ -1012,7 +1006,12 @@ def corpus_clean_pipeline(spark, sf_dir):
     near-dup group resolution — one keep/drop verdict per document.
     keep = english AND quality >= 0.5 AND exact representative AND (not
     near-duplicated OR the group representative)."""
-    from .operators.dedup import connected_components, jaccard_verify, with_shingles
+    from .operators.dedup import (
+        connected_components,
+        inverted_index_candidates,
+        jaccard_verify,
+        with_shingles,
+    )
     from .operators.text_analysis import STOPWORDS, lang_id
 
     docs = _t_wide(spark, sf_dir, "documents")
@@ -1020,12 +1019,7 @@ def corpus_clean_pipeline(spark, sf_dir):
     er = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep"))
     # near-dup groups (exact n-gram Jaccard pairs @0.5 -> components)
     sh = with_shingles(docs, n=3)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    cand = inverted_index_candidates(sh)
     comp = connected_components(jaccard_verify(cand, sh, threshold=0.5))
     # quality (same floor-scaled formula as text_quality_score)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -1104,16 +1098,16 @@ def dedup_duplicate_groups(spark, sf_dir):
     recursive CTE. Reference analog: the dedup-by-query grouping the
     filtering pipeline applies before scoring (rag2-filtering/main.py:34-96),
     generalized to transitive duplicate clusters."""
-    from .operators.dedup import connected_components, jaccard_verify, with_shingles
+    from .operators.dedup import (
+        connected_components,
+        inverted_index_candidates,
+        jaccard_verify,
+        with_shingles,
+    )
 
     docs = _t_wide(spark, sf_dir, "documents")
     sh = with_shingles(docs, n=3)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    cand = inverted_index_candidates(sh)
     pairs = jaccard_verify(cand, sh, threshold=0.5)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "group_id"

@@ -144,6 +144,51 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def inverted_index_candidates(
+    shingles: DataFrame,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact candidate pairs via the inverted-index self-join: (id_a < id_b)
+    iff the docs share at least one (kept) shingle.
+
+    `max_shingle_df` caps a shingle's document frequency before the join: a
+    globally hot shingle (boilerplate n-gram present in millions of docs)
+    makes the self-join quadratic in its df. Hot shingles are dropped FROM
+    CANDIDATE GENERATION ONLY (verification still scores the full shingle
+    sets), with a logged drop line. Recall caveat: a pair sharing ONLY
+    capped shingles is missed — at a Jaccard threshold t, such a pair has
+    all its common shingles in the hot set, which boilerplate-heavy corpora
+    should handle with exact-dedup first (same design note as the LSH
+    hot-bucket cap)."""
+    sh = shingles
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        df_ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("_df", df_)
+        n_hot = (
+            sh.filter(F.col("_df") > max_shingle_df)
+            .select("shingle").distinct().count()
+        )
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"inverted_index_candidates: {n_hot} shingle(s) over "
+                f"max_shingle_df={max_shingle_df} dropped from candidate "
+                "generation (verification still uses full shingle sets)"
+            )
+        sh = sh.filter(F.col("_df") <= max_shingle_df).drop("_df")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingles: DataFrame,

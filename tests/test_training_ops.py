@@ -585,3 +585,32 @@ def test_connected_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
         got = {r["id"]: r["group_id"] for r in connected_components(df).collect()}
         assert got == want, (n, m, seed)
+
+
+def test_inverted_index_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc would make the exact
+    inverted-index join quadratic; with max_shingle_df it leaves candidate
+    generation (logged), while genuinely similar pairs still surface via
+    their other shared shingles."""
+    import warnings
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        inverted_index_candidates,
+        with_shingles,
+    )
+
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"document number {i} unique content here. {boiler}") for i in range(50)]
+    # plant one true near-dup pair sharing non-boilerplate shingles
+    rows.append((100, "the planted duplicate text body is long enough here"))
+    rows.append((101, "the planted duplicate text body is long enough here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = with_shingles(docs, n=3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cand = inverted_index_candidates(sh, max_shingle_df=10).toPandas()
+    assert any("max_shingle_df" in str(w.message) for w in caught)
+    got = set(zip(cand["id_a"], cand["id_b"]))
+    assert (100, 101) in got
+    # the 50 boilerplate-only docs must NOT produce ~1225 cross pairs
+    assert len(got) < 100
