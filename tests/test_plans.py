@@ -148,3 +148,17 @@ def test_kg_query_cli_smoke(spark, fixture_dir, tmp_path, capsys, monkeypatch):
     for l in out_lines.splitlines():
         if l:
             json.loads(l)
+
+
+def test_t_wide_widens_single_file_scan(spark):
+    """_t_wide must widen a deficient (single-file) scan to the session's
+    parallelism and leave the row set untouched; it must be identity-shaped
+    on inputs that already have enough partitions."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import _t, _t_wide
+
+    sf = "/root/testdata/sf0.01"
+    narrow = _t(spark, sf, "documents")
+    wide = _t_wide(spark, sf, "documents")
+    assert narrow.rdd.getNumPartitions() == 1
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.count() == narrow.count()
