@@ -44,13 +44,10 @@ _LEAD_PUNCT_PAT = r"^['\-]+"
 _TRAIL_PUNCT_PAT = r"['\-]+$"
 _WS_PAT = r"\s+"
 _SEP = "\x00"
-# Characters that force a row onto the Python fallback path: \x00 is our
-# sentence-separator sentinel; \x0b and \x1c-\x1f are whitespace to Python's
-# re (\s) but NOT to RE2's ASCII \s, so the Arrow pipeline would split
-# sentences differently (\x0c/formfeed matches in both, so it stays fast).
-import re as _re
-
-_SLOW_CHARS_RE = _re.compile("[\x00\x0b\x1c-\x1f]")
+# Routing chars (see _fast_path_ok_arrow): \x00 is our sentence-separator
+# sentinel; \x0b and \x1c-\x1f are whitespace to Python's re (\s) but NOT
+# to RE2's ASCII \s, so the Arrow pipeline would split sentences differently
+# (\x0c/formfeed matches in both engines, so it stays on the fast path).
 
 # predicate phrases bucketed by token length: length -> {space-joined: norm}
 _PRED_BY_LEN: dict[int, dict[str, str]] = {}
