@@ -11,10 +11,12 @@ stable across engines:
 - every top-k / argmax pins deterministic tie-breaks on a unique key;
 - column names are aliased identically in the DataFrame code and the SQL.
 
-Queries tagged `sql=None` are genuinely non-SQL-expressible here (full KG
-pipeline with pandas-UDF extraction, simhash needing crc32, iterative IVF) and
-get the driver's weaker rows-only check; their semantics are pytest-verified
-against the pandas oracle / numpy instead.
+Queries whose semantics DuckDB cannot express directly (full KG pipeline
+with Arrow-UDF extraction, simhash needing crc32, iterative IVF, sketches)
+are hash-checked against MATERIALIZED independent oracles — pandas/numpy
+re-derivations written to data/oracle/current/<sf>/ (oracle/materialize.py)
+or exact-statistic bounds contracts. Since r3 EVERY registered query has an
+oracle: zero rows-only entries remain.
 """
 
 from __future__ import annotations
@@ -1385,14 +1387,15 @@ def q3_order_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible operators (rows-only driver check; pytest-verified)
+# Non-SQL-expressible operators (materialized independent oracles)
 # ---------------------------------------------------------------------------
 
 @_qm("kg_pipeline_full")
 def kg_pipeline_full(spark, sf_dir):
     """The flagship: full KG construction over transcripts synthesized from
-    the documents table — stages [1]-[6] with pandas-UDF extraction. Verified
-    against the pandas oracle in pytest (P/R == 1.0); rows-only check here."""
+    the documents table — stages [1]-[6] with Arrow-UDF extraction. Verified
+    against the pandas oracle in pytest (P/R == 1.0) AND hash-checked against
+    its materialized independent re-derivation in the driver gate."""
     from .plans.pipeline import build_kg
     from .sources.synth import synth_aliases, synth_transcripts
 
@@ -1420,8 +1423,11 @@ def kg_nodes_full(spark, sf_dir):
 
 @_qm("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (crc32 unavailable in the SQL oracle —
-    rows-only; semantics pytest-verified with planted duplicates)."""
+    """SimHash near-dup candidate pairs (rotated banding). crc32 is
+    unavailable in DuckDB, so the oracle is a MATERIALIZED independent
+    python re-derivation (oracle/materialize.dedup_simhash_pdf) — full
+    rows+schema+hash check since r2; planted-duplicate recall pytest on
+    top."""
     from .operators.dedup import simhash, simhash_near_dups
 
     docs = _t_wide(spark, sf_dir, "documents")
