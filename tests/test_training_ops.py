@@ -614,3 +614,41 @@ def test_inverted_index_hot_shingle_cap(spark):
     assert (100, 101) in got
     # the 50 boilerplate-only docs must NOT produce ~1225 cross pairs
     assert len(got) < 100
+
+
+def test_ivf_reference_design_point_768d(spark):
+    """IVF at the reference's vector geometry (768-d MedCPT embeddings,
+    retrieve.py:22,34): deterministic clustered corpus, 64 lists, nprobe 8 —
+    recall@10 vs brute force stays high, the index is partition-order
+    invariant, and no embedding array rides a driver TakeOrdered."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_clusters, per, dim = 16, 60, 768
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    vecs = (centers.repeat(per, axis=0)
+            + rng.standard_normal((n_clusters * per, dim))).astype(np.float32)
+    rows = [(int(i), vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    assignments, centroids = build_ivf_index(emb, n_centroids=64, train_sample=500)
+    approx = ivf_topk(assignments, centroids, queries, k=10, nprobe=8).toPandas()
+    hits = 0
+    for q in range(8):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / 80 >= 0.7, hits / 80
+    # no TakeOrdered ships vectors: only the two-column (vec_id, rank) pick
+    plan = centroids._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "TakeOrderedAndProject" in line:
+            assert "embedding" not in line and ", v#" not in line, line
+    # partition-order invariance at the design point
+    a2, c2 = build_ivf_index(emb.repartition(3), n_centroids=64, train_sample=500)
+    p1 = centroids.toPandas().sort_values("centroid_id").reset_index(drop=True)
+    p2 = c2.toPandas().sort_values("centroid_id").reset_index(drop=True)
+    assert all(list(x) == list(y) for x, y in zip(p1["c"], p2["c"]))
