@@ -1965,6 +1965,63 @@ def kg_turn_assembly_synth(spark, sf_dir):
     return turns.select("conv_id", "turn_idx", "role", "text", "tool")
 
 
+@q(
+    "streaming_stateful_progress",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks
+    )
+    SELECT 'conv_' || doc_id AS conv_id,
+           CAST(n AS BIGINT) AS n_turns,
+           CAST(n - 1 AS INT) AS max_turn_idx
+    FROM base
+    """,
+)
+def streaming_stateful_progress(spark, sf_dir):
+    """Custom STATEFUL streaming operator under the driver's hash gate:
+    synthesized transcripts stream through applyInPandasWithState
+    (per-conversation (n_turns, max_turn_idx) state held in the state store
+    across micro-batches, streaming/stateful.py) with maxFilesPerTrigger=1
+    over a 4-file input, so state genuinely accumulates across >=4 batches;
+    the drained final state per conversation must equal the batch aggregate
+    the SQL oracle computes directly from the synthesis rule."""
+    import tempfile
+    import uuid
+
+    from .sources.synth import synth_transcripts
+    from .streaming.stateful import conversation_progress
+    from .sources.io import TRANSCRIPTS_SCHEMA
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = synth_transcripts(docs)
+    in_dir = tempfile.mkdtemp(prefix="stream_progress_in_")
+    chk = tempfile.mkdtemp(prefix="stream_progress_chk_")
+    tr.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sink = f"progress_{uuid.uuid4().hex[:8]}"
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""SELECT conv_id, max(n_turns) AS n_turns, max(max_turn_idx) AS max_turn_idx
+            FROM {sink} GROUP BY conv_id"""
+    )
+
+
 @_qm("kg_two_hop_paths")
 def kg_two_hop_paths(spark, sf_dir):
     """Graph traversal: distinct 2-hop paths a-[p1]->b-[p2]->c over the
@@ -2273,7 +2330,7 @@ _GATE_ORDER = [
     "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
     "f_json_extract", "window_running_sum", "rollup_aggregates",
     "pivot_linestatus", "hourly_event_counts", "dedup_duplicate_groups",
-    "corpus_clean_pipeline",
+    "corpus_clean_pipeline", "streaming_stateful_progress",
 ]
 
 assert set(_GATE_ORDER) == set(REGISTRY), (
