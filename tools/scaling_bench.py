@@ -1,23 +1,25 @@
 """Two-parallelism scaling evidence for the north rule's N vs 4N criterion.
 
 No real cluster exists in this sandbox, so (per the driver instruction) we run
-the IDENTICAL KG-construction job on the same input at local[8] and local[32]
+the IDENTICAL KG-construction job on the same input at local[N] and local[4N]
 — fresh JVM per level via subprocess so nothing is shared — and report
-throughput at both plus scaling efficiency = (T8 / T32) / 4.
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4. Every session
+pair is appended to BENCH/scaling_pairs.jsonl (with a host-load probe) and
+the report gives the MEDIAN across same-config pairs — single pairs on this
+VM swing up to 2.5x with external host load.
 
 The input is the deterministic synthesized transcripts table replicated
-REPLICATE-fold (~500k turns at sf0.1): large enough that per-turn extraction
-CPU (the real cost at 10^12-turn scale) dominates fixed scheduling overheads.
-Both levels read the SAME materialized parquet input. Results land in
-BENCH/BASELINE.md.
+REPLICATE-fold. Make it LARGE (r3 headline config: x320 = 8M turns at 1v4):
+the ~5s fixed per-run floor is measurement overhead that vanishes at the
+10^12-turn design scale, and small inputs understate efficiency for that
+reason. Both levels read the SAME materialized parquet input.
 
 Usage: python tools/scaling_bench.py [sf_dir] [repeats] [replicate] [N] [N4]
 
-Parallelism levels default to N=2 / 4N=8 vCPUs: a raw-CPU calibration on this
-Firecracker VM (32 fixed-work processes vs 8 vs 1) shows the HARDWARE itself
-delivers only ~0.76 efficiency from 8->32-wide (SMT/host oversubscription),
-so 8 vs 32 cannot evidence software scaling; 2 vs 8 stays in the VM's linear
-region. The job and input are identical at both levels either way.
+Parallelism pair choice: raw-CPU calibration on this Firecracker VM shows
+the HARDWARE at ~0.76 efficiency from 8->32-wide (SMT/host oversubscription),
+and the r3 kernel is fast enough that even 2v8 saturates the box's memory
+bus (see BENCH/BASELINE.md regime notes) — 1v4 is the honest software pair.
 """
 
 from __future__ import annotations
