@@ -92,7 +92,7 @@ def main() -> None:
     n_turns = big_tr.count()
     aliases = synth_aliases(spark)
     kg_sec = None
-    for _rep in range(2):  # best of 2 (run-to-run VM wall variance)
+    for _rep in range(3):  # best of 3: the headline metric gets the most noise immunity
         t0 = time.time()
         kg = build_kg(spark, big_tr, aliases, persist=True)
         kg.kg_edges.count()
@@ -112,7 +112,7 @@ def main() -> None:
     write_bucketed(big_tr, "bench_transcripts_bucketed", "conv_id", cpus)
     bt = spark.table("bench_transcripts_bucketed")
     kgb_sec = None
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.time()
         kg = build_kg(spark, bt, aliases, persist=True, assume_clustered=True)
         kg.kg_edges.count()
