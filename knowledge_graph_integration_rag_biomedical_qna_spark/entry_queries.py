@@ -234,18 +234,24 @@ def j2_keyed_lookup_join(spark, sf_dir):
 @q(
     "j6_eval_accuracy",
     """
-    SELECT round(avg(CASE WHEN vec_id % 10 = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+    SELECT CAST(round(avg(CASE WHEN vec_id % 10 = label THEN 1.0 ELSE 0.0 END) * 1e6)
+                AS BIGINT) AS accuracy_micro,
            count(*) AS n
     FROM embeddings
     """,
 )
 def j6_eval_accuracy(spark, sf_dir):
-    """J6+A1 gold join + accuracy aggregate (ref: metrics.py:38-51)."""
+    """J6+A1 gold join + accuracy aggregate (ref: metrics.py:38-51). The
+    ratio is emitted as integer micro-units: the 0/1 sum is exact in double
+    and IEEE division is correctly rounded, so both engines compute the
+    identical double — but an integer removes even the representation
+    question from the driver's hasher (r3 verdict item 2)."""
     emb = _t(spark, sf_dir, "embeddings")
     return emb.agg(
         F.round(
-            F.avg(F.when(F.col("vec_id") % 10 == F.col("label"), 1.0).otherwise(0.0)), 6
-        ).alias("accuracy"),
+            F.avg(F.when(F.col("vec_id") % 10 == F.col("label"), 1.0).otherwise(0.0))
+            * F.lit(1e6)
+        ).cast("bigint").alias("accuracy_micro"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1516,14 +1522,20 @@ def embed_link_score(spark, sf_dir):
     s_emb = with_embedding(surfaces, text_col="surface", out_col="s_emb")
     d_emb = with_embedding(d, text_col="alias", out_col="a_emb")
     w = Window.partitionBy("surface").orderBy(
-        F.col("cos").desc(), F.col("cui").asc()
+        F.col("cos_micro").desc(), F.col("cui").asc()
     )
+    # integer micro-units: the dot-product fold is a multi-term float
+    # expression — emit it hash-robust (r3 verdict item 2); the oracle
+    # mirrors round(acc * 1e6) with Decimal HALF_UP on the identical fold
     return (
         s_emb.join(F.broadcast(d_emb), s_emb.surface == d_emb["alias"])
-        .withColumn("cos", F.round(cosine_col("s_emb", "a_emb"), 6))
+        .withColumn(
+            "cos_micro",
+            F.round(cosine_col("s_emb", "a_emb") * F.lit(1e6)).cast("bigint"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .select("surface", "cui", "cos")
+        .select("surface", "cui", "cos_micro")
     )
 
 
@@ -1639,8 +1651,11 @@ def grouping_sets_agg(spark, sf_dir):
     "q5_join_breadth",
     """
     SELECT n.n_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_c4,
+           -- DuckDB widens integer sum() to HUGEINT/int128; cast the AGGREGATE
+           -- back to BIGINT so the driver's hasher sees Spark's representation
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c4,
            count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -2251,22 +2266,27 @@ def approx_sketches(spark, sf_dir):
     ),
     dict(alias, cui, prior) AS ({_KG_DICT_SQL}),
     scored AS (
+      -- integer micro-units: the two-term blend is a multi-term float
+      -- expression, which must never reach the driver's hasher as a raw
+      -- double (r3 verdict item 2)
       SELECT s.surface, d.cui,
-             round(0.7 * 1.0 + 0.3 * CAST(d.prior AS DOUBLE), 6) AS score
+             CAST(round((0.7 * 1.0 + 0.3 * CAST(d.prior AS DOUBLE)) * 1e6) AS BIGINT)
+               AS score_micro
       FROM surfaces s JOIN dict d ON s.surface = d.alias
     ),
     ranked AS (
-      SELECT surface, cui, score,
-             row_number() OVER (PARTITION BY surface ORDER BY score DESC, cui ASC) AS rn
+      SELECT surface, cui, score_micro,
+             row_number() OVER (PARTITION BY surface ORDER BY score_micro DESC, cui ASC) AS rn
       FROM scored
     )
-    SELECT surface, cui, score FROM ranked WHERE rn = 1 AND score >= 0.5
+    SELECT surface, cui, score_micro FROM ranked WHERE rn = 1 AND score_micro >= 500000
     """,
 )
 def kg_link_score_blend(spark, sf_dir):
     """Stage [5] scoring twin, SQL-checked: the SIM*0.7 + prior*0.3 blend with
     the 0.5 acceptance floor (exact dictionary matches have sim = 1.0), top-1
-    per surface with pinned ties — the engine's link_score on its accept path."""
+    per surface with pinned ties — the engine's link_score on its accept path.
+    Gated projection emits integer micro-units (hash-robust across engines)."""
     triples = _kg_triples_df(spark, sf_dir)
     surfaces = (
         triples.select(F.col("subj").alias("surface"))
@@ -2275,25 +2295,28 @@ def kg_link_score_blend(spark, sf_dir):
     )
     d = _kg_dict_df(spark)
     scored = surfaces.join(F.broadcast(d), surfaces.surface == d["alias"]).withColumn(
-        "score", F.round(0.7 * F.lit(1.0) + 0.3 * F.col("prior"), 6)
+        "score_micro",
+        F.round((0.7 * F.lit(1.0) + 0.3 * F.col("prior")) * F.lit(1e6)).cast("bigint"),
     )
-    w = Window.partitionBy("surface").orderBy(F.col("score").desc(), F.col("cui").asc())
+    w = Window.partitionBy("surface").orderBy(F.col("score_micro").desc(), F.col("cui").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("score") >= 0.5))
-        .select("surface", "cui", "score")
+        .filter((F.col("rn") == 1) & (F.col("score_micro") >= 500000))
+        .select("surface", "cui", "score_micro")
     )
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate curation (r2 verdict item 1): the driver's correctness gate
-# stamps the FIRST 50 registry entries, so order is contract. The first 50
-# below = the 23 queries never stamped in r01/r02 (driver-green evidence was
-# the judge's own oracle runs until now) + the 27 highest-value previously-
-# stamped queries (full KG flagship chain, every dedup/ANN/text family
-# member, multimodal, and the canonical relational shapes). The remaining 23
-# — all stamped green in r01+r02, mostly simple filter/join/window shapes —
-# keep their oracles for tools/check_oracle.py but sit past the gate cap.
+# Driver-gate curation (r2 verdict item 1, rotated r4 per r3 verdict item 4):
+# the driver's correctness gate stamps the FIRST 50 registry entries, so
+# order is contract. r4 rotation: the three r3-new queries that had NEVER
+# been driver-stamped (dedup_duplicate_groups, corpus_clean_pipeline,
+# streaming_stateful_progress) move inside the cap, displacing three
+# relational twins whose shapes are multiply covered and which were stamped
+# green in r01/r02 AND r03 (q13_order_histogram, q19_disjunctive_predicates,
+# grouping_sets_agg). Everything below the cap keeps its oracle for
+# tools/check_oracle.py; each below-cap query has at least one prior driver
+# stamp (r01-r03) plus per-round judge oracle runs.
 # ---------------------------------------------------------------------------
 
 _GATE_ORDER = [
@@ -2308,20 +2331,24 @@ _GATE_ORDER = [
     # dedup family
     "dedup_exact_hash", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_minhash_pairs_fast", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_duplicate_groups", "corpus_clean_pipeline",
     # similarity / embeddings
     "ann_cosine_topk", "ann_ivf_topk", "ann_threshold_pairs", "embed_link_score",
     # text analysis + multimodal
     "text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint",
     "multimodal_decode", "multimodal_frame_sample",
+    # streaming
+    "streaming_stateful_progress",
     # pruning / relational core
     "prune_threshold_rank", "j6_eval_accuracy", "sessionize_events",
     "q1_pricing_summary", "q3_order_revenue", "q5_join_breadth",
-    "q2_min_subquery", "q4_semi_join_exists", "q13_order_histogram",
-    "q19_disjunctive_predicates",
+    "q2_min_subquery", "q4_semi_join_exists",
     # SQL-surface packs + sketches
-    "f_math_functions", "window_functions_pack", "grouping_sets_agg",
+    "f_math_functions", "window_functions_pack",
     "distinct_aggregation", "merge_upsert_orders", "approx_sketches",
-    # --- gate cap (50) is here; below: stamped green in r01+r02 ---
+    # --- gate cap (50) is here; below: every query has >=1 prior driver
+    # stamp (r01-r03) + judge oracle runs each round ---
+    "q13_order_histogram", "q19_disjunctive_predicates", "grouping_sets_agg",
     "p1_empty_text_filter", "p2_delta_threshold_filter", "p4_percentile_filter",
     "p5_coalesce_projection", "p9_group_min_filter",
     "j1_broadcast_decode_join", "j2_keyed_lookup_join", "u3_anti_join_resume",
@@ -2329,8 +2356,7 @@ _GATE_ORDER = [
     "a6_dedup_first_seen", "a7_canonical_grouping", "t1_topk_per_group",
     "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
     "f_json_extract", "window_running_sum", "rollup_aggregates",
-    "pivot_linestatus", "hourly_event_counts", "dedup_duplicate_groups",
-    "corpus_clean_pipeline", "streaming_stateful_progress",
+    "pivot_linestatus", "hourly_event_counts",
 ]
 
 assert set(_GATE_ORDER) == set(REGISTRY), (

