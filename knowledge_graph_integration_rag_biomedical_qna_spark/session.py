@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # This engine's df.persist() uses are short-lived STAGE BOUNDARIES
+        # (the unified extraction + two vocabulary-sized tables in build_kg),
+        # re-read once or twice then dropped — columnar-cache compression CPU
+        # dominates there (interleaved best-of-3 at sf0.1 x20: 3.76 s
+        # uncompressed vs 4.47 s compressed, -16%; r3 measured -29% at 8M
+        # turns). Default MEMORY_AND_DISK still spills oversized caches; jobs
+        # too large to cache at all use plans.checkpoint.ResumableKGRun,
+        # which materializes boundaries to (compressed) parquet instead.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

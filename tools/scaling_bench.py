@@ -219,6 +219,12 @@ salting in canonicalization).
 Reproduce: `python tools/scaling_bench.py /root/testdata/sf0.1 {repeats} {replicate} {n_lo} {n_hi}`
 (2v8 pair: `python tools/scaling_bench.py /root/testdata/sf0.1 2 80 2 8`)
 """
+    # free-form per-round perf analysis lives in its own file so regenerating
+    # the scaling section never clobbers it
+    notes_path = os.path.join(REPO, "BENCH", "PERF_NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as fh:
+            md += "\n" + fh.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
     print("wrote BENCH/BASELINE.md")
