@@ -79,8 +79,13 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     small by definition); a many-file input at real scale is untouched, so no
     extra full-data shuffle ever appears at 100 TB."""
     df = _t(spark, sf_dir, name)
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 <= target:
+    try:
+        target = spark.sparkContext.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no client-side SparkContext/RDD API
+        target = int(spark.conf.get("spark.default.parallelism", "32"))
+        n_parts = None
+    if n_parts is not None and n_parts * 4 <= target:
         df = df.repartition(target)
     return df
 

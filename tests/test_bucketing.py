@@ -73,3 +73,26 @@ def test_build_kg_bucketed_equals_shuffled(spark, fixture_dir):
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS transcripts_bucketed3")
+
+
+def test_write_bucketed_one_file_per_bucket(spark, fixture_dir):
+    """The r3 bench regression guard: writing from a many-partition DataFrame
+    must NOT emit tasks x buckets tiny files (1,024 at bench scale — the
+    serial per-bucket read cost more than the exchange bucketing saved).
+    write_bucketed repartitions by the bucket column first, so exactly one
+    data file per bucket lands on disk."""
+    import glob
+    import os
+
+    transcripts = spark.read.parquet(f"{fixture_dir}/transcripts.parquet").repartition(16)
+    write_bucketed(transcripts, "transcripts_bucketed_files", "conv_id", 8)
+    try:
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            "transcripts_bucketed_files",
+        )
+        files = glob.glob(os.path.join(loc, "part-*.parquet"))
+        assert len(files) == 8, sorted(os.path.basename(f) for f in files)
+        assert spark.table("transcripts_bucketed_files").count() == transcripts.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transcripts_bucketed_files")
