@@ -1339,11 +1339,16 @@ def hourly_event_counts(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice) / 1000, 2) AS sum_price_k,
-           round(sum(l_extendedprice * (1 - l_discount)) / 1000, 2) AS revenue_k,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c4,
+           CAST(round(avg(CAST(round(l_quantity) AS BIGINT)) * 1e4) AS BIGINT)
+             AS avg_qty_e4,
+           CAST(round(avg(CAST(round(l_discount * 100) AS BIGINT)) * 1e4) AS BIGINT)
+             AS avg_disc_c_e4,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1351,17 +1356,29 @@ def hourly_event_counts(spark, sf_dir):
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: the engine's relational-aggregate headline query."""
+    """TPC-H Q1 shape: the engine's relational-aggregate headline query.
+
+    Monetary/ratio aggregates are exact-integer: per-row rounding to cents
+    BEFORE the sum makes every aggregate an integer sum (deterministic in any
+    engine, any partition order), and the two averages are exact-integer-sum
+    divided by count, emitted as e4 fixed-point BIGINT. No summation-order
+    noise can reach the driver's hasher (replaces the scaled-sum whitelist
+    argument this query used through r3). quantity/discount are
+    integer-valued/cent-valued in the generator, so the per-row rounds are
+    lossless."""
     li = _t(spark, sf_dir, "lineitem")
+    qty_i = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice") / 1000, 2).alias("sum_price_k"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1000, 2).alias("revenue_k"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(qty_i).alias("sum_qty"),
+            F.sum(price_c).alias("sum_price_c"),
+            F.sum(price_c * F.round((1 - F.col("l_discount")) * 100).cast("bigint")).alias("revenue_c4"),
+            F.round(F.avg(qty_i) * F.lit(1e4)).cast("bigint").alias("avg_qty_e4"),
+            F.round(F.avg(disc_c) * F.lit(1e4)).cast("bigint").alias("avg_disc_c_e4"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1371,7 +1388,9 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_order_revenue",
     """
     SELECT o.o_orderkey, o.o_totalprice,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) / 1000, 3) AS revenue_k
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c4
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1381,19 +1400,23 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_order_revenue(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + group; dimension joins broadcast."""
+    """TPC-H Q3 shape: 3-way join + group; dimension joins broadcast.
+    Revenue in exact integer cents^2 (per-row cent rounding before the sum,
+    the q5 scheme) so both engines agree bit-for-bit with no summation-order
+    hazard; the oracle casts DuckDB's HUGEINT sum back to BIGINT."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     seg = c.agg(F.min("c_mktsegment")).first()[0]
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == seg)), o.o_custkey == F.col("c_custkey"))
         .filter(F.col("o_orderstatus") == "O")
         .groupBy("o_orderkey", "o_totalprice")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1000, 3).alias("revenue_k")
-        )
+        .agg(F.sum(rev).alias("revenue_c4"))
     )
 
 

@@ -77,13 +77,9 @@ AUDITED_DOUBLE_COLUMNS = {
     ("ann_ivf_topk", "cosine"): "decimal-twin (sequential-fold dot)",
     ("ann_threshold_pairs", "cosine"): "decimal-twin (sequential-fold dot)",
     ("prune_threshold_rank", "value"): "passthrough",
-    ("q1_pricing_summary", "sum_qty"): "exact integer-valued double sum",
-    ("q1_pricing_summary", "sum_price_k"): "scaled-sum",
-    ("q1_pricing_summary", "revenue_k"): "scaled-sum",
-    ("q1_pricing_summary", "avg_qty"): "scaled-sum (exact sum, single division)",
-    ("q1_pricing_summary", "avg_disc"): "scaled-sum (exact-ish, 6dp)",
+    # q1/q3 monetary aggregates converted r4 to exact integer cents (per-row
+    # rounding before the sum) — no scaled-sum entries remain in the gate
     ("q3_order_revenue", "o_totalprice"): "passthrough",
-    ("q3_order_revenue", "revenue_k"): "scaled-sum",
     ("q2_min_subquery", "l_extendedprice"): "passthrough",
     ("f_math_functions", "sigmoid_v"): "libm-round6",
     ("f_math_functions", "neg_log_ratio"): "libm-round6",
