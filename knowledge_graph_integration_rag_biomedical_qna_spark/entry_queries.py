@@ -1787,10 +1787,19 @@ def kg_streaming_ingest(spark, sf_dir):
     synth_transcripts(docs).repartition(8).write.parquet(in_dir)
     keys_bc = broadcast_alias_keys(spark, aliases)
     # watermark wider than the synthetic ts span: no row can be classified
-    # late, so micro-batch order cannot change the edge set
-    q_ = start_kg_stream(spark, in_dir, out_dir, aliases, keys_bc,
-                         trigger_available_now=True, watermark="3650 days")
-    q_.awaitTermination()
+    # late, so micro-batch order cannot change the edge set.
+    # Scoped shuffle-partition pin: the per-micro-batch dedup shuffle at the
+    # driver's default 200 partitions pays 200x8 tiny-task overhead for
+    # ~10k-row batches; the edge set is partition-count-invariant
+    # (stream == batch by design) and the checkpoint is fresh each run.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_ = start_kg_stream(spark, in_dir, out_dir, aliases, keys_bc,
+                             trigger_available_now=True, watermark="3650 days")
+        q_.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     edges = spark.read.parquet(os.path.join(out_dir, "kg_edges_stream")).select(
         "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"
     )
@@ -2049,16 +2058,27 @@ def streaming_stateful_progress(spark, sf_dir):
         .parquet(in_dir)
     )
     sink = f"progress_{uuid.uuid4().hex[:8]}"
-    q = (
-        conversation_progress(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming allocates one state-store instance per shuffle
+    # partition per micro-batch; at the driver's default 200 partitions that
+    # is 800 store setups for ~500 conversations — pure overhead. State
+    # partitioning is baked into the (fresh) checkpoint, so pinning a small
+    # count here is safe and scoped; the result is partition-count-invariant
+    # (deterministic per-conversation aggregate, stream == batch by design).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            conversation_progress(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.sql(
         f"""SELECT conv_id, max(n_turns) AS n_turns, max(max_turn_idx) AS max_turn_idx
             FROM {sink} GROUP BY conv_id"""
