@@ -31,6 +31,62 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# Above this dimensionality the 'auto' kernel switches from interpreted
+# fold expressions to the batched numpy matmul (same crossover as
+# operators/dedup.py's sign-LSH signature UDF).
+MATMUL_MIN_DIM = 256
+
+
+def _matmul_topk_rows(
+    base: DataFrame,
+    q_rows: list,
+    k: int,
+) -> DataFrame:
+    """mapInPandas scorer: ONE numpy matmul (batch x dim) @ (dim x queries)
+    per Arrow batch, then a per-batch partial top-k per query — the batch
+    emits at most |queries| * k rows, so the global top-k window receives
+    n_partitions * |queries| * k rows instead of n_rows * |queries| (partial
+    top-k pushdown, same idea as WindowGroupLimit but on the Python side).
+
+    Rounding note: cosines are rounded to 6dp with np.round (half-even on
+    the matmul sum), NOT the engine's sequential-fold/Decimal twin — matmul
+    sums in BLAS order, so last-ulp agreement with the fold path is already
+    off the table; callers that need the engine-reproducible convention
+    (the driver's hash gate at 8-d) use the fold kernel."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [r[0] for r in q_rows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])  # nq x dim
+    qnrm = np.sqrt((Q * Q).sum(axis=1))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vids = pdf["vec_id"].to_numpy()
+            nrm = np.sqrt((V * V).sum(axis=1))
+            cos = np.round((V @ Q.T) / np.outer(nrm, qnrm), 6)  # nb x nq
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                cj = cos[:, j]
+                mask = vids != qid  # exclude self-match
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                # deterministic partial top-k: by (-cosine, vec_id)
+                order = idx[np.lexsort((vids[idx], -cj[idx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_v.extend(vids[order])
+                out_c.extend(cj[order])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    return base.select("vec_id", "v").mapInPandas(
+        fn, "query_id long, vec_id long, cosine double"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -39,24 +95,57 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k of `embeddings` for each row of `queries`.
 
     Output: (query_id, vec_id, cosine, rank) with deterministic tie-break on
     vec_id. Self-matches (query_id == vec_id) are excluded.
-    """
+
+    `kernel`: 'fold' = pure column expressions (zip_with + aggregate —
+    engine-reproducible sequential sums, the DuckDB-oracle twin; interpreted,
+    ~dim ops/row of expression-tree walking, and the crossJoin materializes
+    n_rows x n_queries scored rows into the top-k window), 'matmul' =
+    Arrow-batched numpy matmul with per-batch partial top-k (one BLAS call
+    per batch; the window receives only n_partitions x n_queries x k rows).
+    Measured at 20k x 768-d (reference MedCPT dimensionality,
+    rag2-retriever/retrieve.py:22), warm, local[32]: 8 queries 2.08 -> 1.45 s,
+    64 queries 7.02 -> 5.53 s — a modest local win that grows with the
+    query-batch size, because fold's materialized cross product is the term
+    that explodes at scale while matmul stays linear in scanned rows.
+    'auto' = matmul at >= MATMUL_MIN_DIM dims else fold (same adaptive
+    crossover as the sign-LSH signature UDF in operators/dedup.py). The
+    query batch must be broadcast-sized in BOTH kernels (fold broadcasts it;
+    matmul captures it in the task closure) — tile bigger query sets.
+    Both kernels return the same top-k sets and 6dp cosines up to last-ulp
+    rounding ties (parity-tested at 768-d)."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("qv"),
-    ).withColumn("qnrm", _norm(F.col("qv")))
-    scored = (
-        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6))
     )
+    if kernel == "auto":
+        first = q.select(F.size("qv").alias("d")).first()
+        kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
+    if kernel == "matmul":
+        # query side is broadcast-sized by contract (it rides a broadcast
+        # join in the fold path); collecting it to the closure is the same
+        # data movement without the crossJoin row blow-up
+        q_rows = q.select("query_id", "qv").collect()
+        scored = _matmul_topk_rows(base, q_rows, k)
+    else:
+        base = base.withColumn("nrm", _norm(F.col("v")))
+        qn = q.withColumn("qnrm", _norm(F.col("qv")))
+        scored = (
+            base.join(F.broadcast(qn), F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
