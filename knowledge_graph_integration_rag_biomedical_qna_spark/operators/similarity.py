@@ -258,6 +258,58 @@ def build_ivf_index(
     return a_final, cents
 
 
+def _ivf_matmul_topk_rows(assignments: DataFrame, probe_rows: list, k: int) -> DataFrame:
+    """mapInPandas IVF scorer: group each Arrow batch by centroid_id, one
+    numpy matmul per (batch, probed-centroid) group against that centroid's
+    probing queries, then per-batch partial top-k per query. Same rounding
+    caveat as _matmul_topk_rows (np.round on BLAS-order sums — not the
+    fold/Decimal twin; the 8-d gate query stays on the fold kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    by_cent: dict = {}
+    for r in probe_rows:  # (query_id, qv, centroid_id)
+        by_cent.setdefault(r["centroid_id"], []).append((r["query_id"], r["qv"]))
+    cent_q = {}
+    for cid, rows in by_cent.items():
+        qids = np.array([q for q, _ in rows], dtype=np.int64)
+        Q = np.array([np.asarray(v, dtype=np.float64) for _, v in rows])
+        cent_q[cid] = (qids, Q, np.sqrt((Q * Q).sum(axis=1)))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            acc: dict = {}  # query_id -> (cos list, vid list)
+            for cid, g in pdf.groupby("centroid_id"):
+                hit = cent_q.get(cid)
+                if hit is None:
+                    continue
+                qids, Q, qnrm = hit
+                V = np.array([np.asarray(v, dtype=np.float64) for v in g["v"]])
+                vids = g["vec_id"].to_numpy()
+                nrm = np.sqrt((V * V).sum(axis=1))
+                cos = np.round((V @ Q.T) / np.outer(nrm, qnrm), 6)
+                for j, qid in enumerate(qids):
+                    mask = vids != qid
+                    a = acc.setdefault(int(qid), ([], []))
+                    a[0].append(cos[mask, j])
+                    a[1].append(vids[mask])
+            out_q, out_v, out_c = [], [], []
+            for qid, (cs, vs) in acc.items():
+                cj = np.concatenate(cs)
+                vj = np.concatenate(vs)
+                order = np.lexsort((vj, -cj))[:k]
+                out_q.extend([qid] * len(order))
+                out_v.extend(vj[order])
+                out_c.extend(cj[order])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    return assignments.select("vec_id", "v", "centroid_id").mapInPandas(
+        fn, "query_id long, vec_id long, cosine double"
+    )
+
+
 def ivf_topk(
     assignments: DataFrame,
     centroids: DataFrame,
@@ -266,9 +318,18 @@ def ivf_topk(
     nprobe: int = 4,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k: per query, scan only the `nprobe` centroids
-    nearest to the query vector. Output schema matches `cosine_topk`."""
+    nearest to the query vector. Output schema matches `cosine_topk`.
+
+    `kernel` as in cosine_topk: 'fold' (engine-reproducible sequential sums —
+    the materialized-numpy-oracle twin, used by the 8-d gate query), 'matmul'
+    (per-batch BLAS over each probed centroid's candidate rows + partial
+    top-k — the probe join's candidate rows never all materialize into the
+    window), 'auto' (matmul at >= MATMUL_MIN_DIM dims). The centroid-probe
+    selection itself always runs as fold expressions: it is
+    centroid-count-sized, not data-sized."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("qv"),
@@ -287,11 +348,21 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qnrm", "centroid_id")
     )
-    scored = (
-        assignments.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6))
-    )
+    if kernel == "auto":
+        first = q.select(F.size("qv").alias("d")).first()
+        kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
+    if kernel == "matmul":
+        probe_rows = probes.select("query_id", "qv", "centroid_id").collect()
+        scored = _ivf_matmul_topk_rows(assignments, probe_rows, k)
+    else:
+        scored = (
+            assignments.join(F.broadcast(probes), "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

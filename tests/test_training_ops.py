@@ -693,3 +693,30 @@ def test_cosine_topk_matmul_kernel_parity_768d(spark):
         m = mm[mm["query_id"] == q].sort_values("rank")
         assert list(f["vec_id"]) == list(m["vec_id"])
         assert np.max(np.abs(f["cosine"].to_numpy() - m["cosine"].to_numpy())) <= 2e-6
+
+
+def test_ivf_topk_matmul_kernel_parity_768d(spark):
+    """IVF scoring through the matmul kernel must return the same top-k sets
+    as the fold kernel for the same index (identical probes by construction;
+    only the candidate scoring path differs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 768
+    centers = rng.standard_normal((8, dim)) * 4
+    vecs = (centers.repeat(30, axis=0)
+            + rng.standard_normal((240, dim))).astype(np.float32)
+    rows = [(int(i), vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assignments, centroids = build_ivf_index(emb, n_centroids=16, train_sample=None)
+    fold = ivf_topk(assignments, centroids, queries, k=10, nprobe=4, kernel="fold").toPandas()
+    mm = ivf_topk(assignments, centroids, queries, k=10, nprobe=4, kernel="matmul").toPandas()
+    assert len(fold) == len(mm) > 0
+    for q in range(4):
+        f = fold[fold["query_id"] == q].sort_values("rank")
+        m = mm[mm["query_id"] == q].sort_values("rank")
+        assert list(f["vec_id"]) == list(m["vec_id"])
+        assert np.max(np.abs(f["cosine"].to_numpy() - m["cosine"].to_numpy())) <= 2e-6
