@@ -720,3 +720,30 @@ def test_ivf_topk_matmul_kernel_parity_768d(spark):
         m = mm[mm["query_id"] == q].sort_values("rank")
         assert list(f["vec_id"]) == list(m["vec_id"])
         assert np.max(np.abs(f["cosine"].to_numpy() - m["cosine"].to_numpy())) <= 2e-6
+
+
+def test_wav_malformed_fmt_rejected_not_crash():
+    """A fmt chunk declaring bits-per-sample < 8 (frame size 0) must reject
+    the payload (None) instead of ZeroDivisionError-ing the executor task."""
+    import struct
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 4)  # 4 bits/sample
+    data = b"\x00" * 16
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert _parse_wav(payload) is None
+    # and a well-formed 16-bit mono file still parses
+    fmt_ok = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    ok = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_ok) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_ok)) + fmt_ok
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert _parse_wav(ok) == 8
