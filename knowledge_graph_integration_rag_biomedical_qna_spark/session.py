@@ -37,15 +37,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # This engine's df.persist() uses are short-lived STAGE BOUNDARIES
-        # (the unified extraction + two vocabulary-sized tables in build_kg),
-        # re-read once or twice then dropped — columnar-cache compression CPU
-        # dominates there (interleaved best-of-3 at sf0.1 x20: 3.76 s
-        # uncompressed vs 4.47 s compressed, -16%; r3 measured -29% at 8M
-        # turns). Default MEMORY_AND_DISK still spills oversized caches; jobs
-        # too large to cache at all use plans.checkpoint.ResumableKGRun,
-        # which materializes boundaries to (compressed) parquet instead.
-        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # Columnar-cache compression stays at the DEFAULT (on). r4 measured
+        # both ways, interleaved: in a FRESH session the uncompressed cache
+        # wins (-16% on the steady pipeline — compression CPU dominates a
+        # short-lived stage-boundary cache), but in a long-lived session
+        # already holding other state (the bench context, and any real
+        # deployment) COMPRESSED wins every interleaved rep (+15-20%): the
+        # doubled storage footprint turns into GC/eviction pressure.
+        # Compressed is also the scale-correct choice — cache memory is the
+        # scarce resource at 100 TB. Full numbers: BENCH/PERF_NOTES.md.
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
