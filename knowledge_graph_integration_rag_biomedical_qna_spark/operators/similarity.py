@@ -56,9 +56,13 @@ def _matmul_topk_rows(
     import numpy as np
     import pandas as pd
 
-    qids = [r[0] for r in q_rows]
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])  # nq x dim
     qnrm = np.sqrt((Q * Q).sum(axis=1))
+    # tile the query axis so the per-batch cosine matrix stays bounded
+    # (nb x 512 doubles per tile) no matter how large the query batch is —
+    # per-query top-k is independent across tiles, so tiling is free
+    QUERY_TILE = 512
 
     def fn(batches):
         for pdf in batches:
@@ -67,19 +71,21 @@ def _matmul_topk_rows(
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             vids = pdf["vec_id"].to_numpy()
             nrm = np.sqrt((V * V).sum(axis=1))
-            cos = np.round((V @ Q.T) / np.outer(nrm, qnrm), 6)  # nb x nq
             out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(qids):
-                cj = cos[:, j]
-                mask = vids != qid  # exclude self-match
-                idx = np.flatnonzero(mask)
-                if not len(idx):
-                    continue
-                # deterministic partial top-k: by (-cosine, vec_id)
-                order = idx[np.lexsort((vids[idx], -cj[idx]))][:k]
-                out_q.extend([qid] * len(order))
-                out_v.extend(vids[order])
-                out_c.extend(cj[order])
+            for t0 in range(0, len(qids), QUERY_TILE):
+                sl = slice(t0, t0 + QUERY_TILE)
+                cos = np.round((V @ Q[sl].T) / np.outer(nrm, qnrm[sl]), 6)
+                for j, qid in enumerate(qids[sl]):
+                    cj = cos[:, j]
+                    mask = vids != qid  # exclude self-match
+                    idx = np.flatnonzero(mask)
+                    if not len(idx):
+                        continue
+                    # deterministic partial top-k: by (-cosine, vec_id)
+                    order = idx[np.lexsort((vids[idx], -cj[idx]))][:k]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(vids[order])
+                    out_c.extend(cj[order])
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
 
     return base.select("vec_id", "v").mapInPandas(
@@ -116,7 +122,8 @@ def cosine_topk(
     'auto' = matmul at >= MATMUL_MIN_DIM dims else fold (same adaptive
     crossover as the sign-LSH signature UDF in operators/dedup.py). The
     query batch must be broadcast-sized in BOTH kernels (fold broadcasts it;
-    matmul captures it in the task closure) — tile bigger query sets.
+    matmul captures it in the task closure and tiles the query axis
+    internally so per-batch score matrices stay bounded).
     Both kernels return the same top-k sets and 6dp cosines up to last-ulp
     rounding ties (parity-tested at 768-d)."""
     base = embeddings.select(
