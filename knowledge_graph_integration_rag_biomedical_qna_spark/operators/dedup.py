@@ -240,12 +240,20 @@ def jaccard_verify(
 
     Pass `sizes` (id, n) if the caller already aggregated per-doc shingle
     counts (minhash_dedup folds them into the signature groupBy) — it saves a
-    full shuffle over the shingle table."""
-    sa = shingles.select(F.col("id").alias("id_a"), F.col("shingle"))
-    sb = shingles.select(F.col("id").alias("id_b"), F.col("shingle"))
+    full shuffle over the shingle table.
+
+    The intersection join keys on xxhash64(shingle), not the shingle string:
+    the two shingle-sized shuffles then carry 8-byte keys instead of ~24-char
+    strings, and the intersection COUNT — all the join contributes — is
+    unchanged unless two distinct shingles of the same doc pair collide in
+    64 bits (~(n_a*n_b)/2^64 per pair — vanishing, and the exact-Jaccard
+    DuckDB oracles stay valid without modification)."""
+    key = F.xxhash64("shingle")
+    sa = shingles.select(F.col("id").alias("id_a"), key.alias("sh_k"))
+    sb = shingles.select(F.col("id").alias("id_b"), key.alias("sh_k"))
     inter = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "sh_k"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
