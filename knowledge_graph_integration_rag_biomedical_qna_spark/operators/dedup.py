@@ -220,10 +220,13 @@ def inverted_index_candidates(
             "generation (verification still uses full shingle sets)",
         )
         sh = sh.filter(F.col("_df") <= max_shingle_df).drop("_df")
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # self-join on the 8-byte shingle hash, not the string (the df-cap window
+    # above still keys on the exact string); a 64-bit collision can only ADD
+    # a candidate pair, which exact Jaccard verification then rejects
+    a = sh.select(F.col("id").alias("id_a"), F.xxhash64("shingle").alias("sh_k"))
+    b = sh.select(F.col("id").alias("id_b"), F.xxhash64("shingle").alias("sh_k"))
     return (
-        a.join(b, "shingle")
+        a.join(b, "sh_k")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
