@@ -46,6 +46,14 @@ def get_spark(
         # doubled storage footprint turns into GC/eviction pressure.
         # Compressed is also the scale-correct choice — cache memory is the
         # scarce resource at 100 TB. Full numbers: BENCH/PERF_NOTES.md.
+        #
+        # Columnar-cache batch size 100k (default 10k): the steady pipeline's
+        # dominant cost is building the unified-extraction cache (62% of
+        # wall), and 10k-row batches pay 10x the per-batch setup +
+        # compression-block overhead for slim extraction rows (~10 MB/batch
+        # at 100k — well inside task memory). Interleaved A/B won or tied
+        # every rep; best steady 2.74 -> 2.42 s at sf0.1 x20.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "100000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
