@@ -87,7 +87,7 @@ spark.stop()
 
 
 def _cpu_probe() -> float:
-    """Single-core busy-loop seconds (quiet host ~1.1-1.4 s, contended 2x+):
+    """Single-core busy-loop seconds (quiet host ~0.75-0.95 s, contended 2x+):
     recorded per pair so a reader can weigh sessions by host load."""
     import time
 
@@ -160,7 +160,7 @@ transcripts x{replicate}) at two parallelism levels (local[{n_lo}] vs
 local[{n_hi}]), fresh JVM per level, steady-state (workers warmed), best of
 {repeats}. ALL session pairs at this config (the VM shows up to 2.5x
 run-to-run host-load variance, so the MEDIAN across sessions is the number;
-cpu_probe = single-core busy-loop seconds, quiet host ~1.1-1.4):
+cpu_probe = single-core busy-loop seconds, quiet host ~0.75-0.95):
 
 | T_N sec | T_4N sec | turns/sec @4N | efficiency | cpu_probe |
 |---|---|---|---|---|
