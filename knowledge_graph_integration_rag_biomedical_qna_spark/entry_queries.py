@@ -79,11 +79,12 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     small by definition); a many-file input at real scale is untouched, so no
     extra full-data shuffle ever appears at 100 TB."""
     df = _t(spark, sf_dir, name)
+    from .session import default_parallelism
+
+    target = default_parallelism(spark)
     try:
-        target = spark.sparkContext.defaultParallelism
         n_parts = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no client-side SparkContext/RDD API
-        target = int(spark.conf.get("spark.default.parallelism", "32"))
+    except Exception:  # Spark Connect: no client-side RDD API — skip widening
         n_parts = None
     if n_parts is not None and n_parts * 4 <= target:
         df = df.repartition(target)
@@ -1184,14 +1185,16 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k (FAISS IndexFlatIP analog) — JVM-side math."""
+    """Brute-force cosine top-k (FAISS IndexFlatIP analog) — JVM-side math.
+    kernel='fold' EXPLICITLY: the oracle is the sequential-fold twin, and an
+    explicit kernel keeps plan construction lazy (no auto dim-probe job)."""
     from .operators.similarity import cosine_topk
 
     emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk(emb, queries, k=10)
+    return cosine_topk(emb, queries, k=10, kernel="fold")
 
 
 @q(
@@ -1342,9 +1345,9 @@ def hourly_event_counts(spark, sf_dir):
            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
              AS sum_price_c,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
-             AS revenue_c4,
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) // 100)
+                AS BIGINT) AS revenue_c,
            CAST(round(avg(CAST(round(l_quantity) AS BIGINT)) * 1e4) AS BIGINT)
              AS avg_qty_e4,
            CAST(round(avg(CAST(round(l_discount * 100) AS BIGINT)) * 1e4) AS BIGINT)
@@ -1365,18 +1368,26 @@ def q1_pricing_summary(spark, sf_dir):
     noise can reach the driver's hasher (replaces the scaled-sum whitelist
     argument this query used through r3). quantity/discount are
     integer-valued/cent-valued in the generator, so the per-row rounds are
-    lossless."""
+    lossless. Revenue collapses cents^2 to CENTS per row (integer half-up
+    div: +50 // 100, identical in Spark `div` and DuckDB `//` on positive
+    longs) so per-group sums carry ~3.6e6/row, not ~3.6e8 — int64 holds to
+    trillions of rows per group instead of overflowing at the 100 TB design
+    point (r4 review finding)."""
     li = _t(spark, sf_dir, "lineitem")
     qty_i = F.round(F.col("l_quantity")).cast("bigint")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev_c = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) div 100"
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_i).alias("sum_qty"),
             F.sum(price_c).alias("sum_price_c"),
-            F.sum(price_c * F.round((1 - F.col("l_discount")) * 100).cast("bigint")).alias("revenue_c4"),
+            F.sum(rev_c).alias("revenue_c"),
             F.round(F.avg(qty_i) * F.lit(1e4)).cast("bigint").alias("avg_qty_e4"),
             F.round(F.avg(disc_c) * F.lit(1e4)).cast("bigint").alias("avg_disc_c_e4"),
             F.count(F.lit(1)).alias("n"),
@@ -1388,9 +1399,9 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_order_revenue",
     """
     SELECT o.o_orderkey, o.o_totalprice,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
-             AS revenue_c4
+           CAST(sum((CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT) + 50) // 100)
+                AS BIGINT) AS revenue_c
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1401,22 +1412,24 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_order_revenue(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + group; dimension joins broadcast.
-    Revenue in exact integer cents^2 (per-row cent rounding before the sum,
-    the q5 scheme) so both engines agree bit-for-bit with no summation-order
-    hazard; the oracle casts DuckDB's HUGEINT sum back to BIGINT."""
+    Revenue in exact integer CENTS (per-row cent rounding, then the cents^2
+    product collapsed per row by integer half-up div — deterministic in both
+    engines, no summation-order hazard, and int64-safe to trillions of rows
+    per group); the oracle casts DuckDB's HUGEINT sum back to BIGINT."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     seg = c.agg(F.min("c_mktsegment")).first()[0]
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
-        (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
+    rev = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) div 100"
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == seg)), o.o_custkey == F.col("c_custkey"))
         .filter(F.col("o_orderstatus") == "O")
         .groupBy("o_orderkey", "o_totalprice")
-        .agg(F.sum(rev).alias("revenue_c4"))
+        .agg(F.sum(rev).alias("revenue_c"))
     )
 
 
@@ -1482,7 +1495,9 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assignments, centroids = build_ivf_index(emb, n_centroids=16)
-    return ivf_topk(assignments, centroids, queries, k=10, nprobe=4)
+    # explicit fold kernel: the materialized numpy oracle is its bit-exact
+    # twin, and plan construction stays lazy (no auto dim-probe job)
+    return ivf_topk(assignments, centroids, queries, k=10, nprobe=4, kernel="fold")
 
 
 @_qm("multimodal_decode")
@@ -1680,10 +1695,12 @@ def grouping_sets_agg(spark, sf_dir):
     """
     SELECT n.n_name,
            -- DuckDB widens integer sum() to HUGEINT/int128; cast the AGGREGATE
-           -- back to BIGINT so the driver's hasher sees Spark's representation
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
-               AS revenue_c4,
+           -- back to BIGINT so the driver's hasher sees Spark's representation.
+           -- Per-row integer half-up div collapses cents^2 to cents (int64-safe
+           -- per-group sums at design scale).
+           CAST(sum((CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT) + 50) // 100)
+                AS BIGINT) AS revenue_c,
            count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -1697,7 +1714,8 @@ def grouping_sets_agg(spark, sf_dir):
 )
 def q5_join_breadth(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join with a correlated dimension condition;
-    revenue in exact integer cents^2 so both engines agree bit-for-bit."""
+    revenue in exact integer CENTS (per-row cents^2 collapsed by integer
+    half-up div — deterministic both engines, int64-safe at design scale)."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -1705,9 +1723,10 @@ def q5_join_breadth(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rname = r.agg(F.min("r_name")).first()[0]
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
-        (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
+    rev = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) div 100"
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -1715,7 +1734,7 @@ def q5_join_breadth(spark, sf_dir):
         .join(F.broadcast(r.filter(F.col("r_name") == rname)), n.n_regionkey == F.col("r_regionkey"))
         .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey))
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev).alias("revenue_c"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -1792,14 +1811,12 @@ def kg_streaming_ingest(spark, sf_dir):
     # driver's default 200 partitions pays 200x8 tiny-task overhead for
     # ~10k-row batches; the edge set is partition-count-invariant
     # (stream == batch by design) and the checkpoint is fresh each run.
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q_ = start_kg_stream(spark, in_dir, out_dir, aliases, keys_bc,
                              trigger_available_now=True, watermark="3650 days")
         q_.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     edges = spark.read.parquet(os.path.join(out_dir, "kg_edges_stream")).select(
         "conv_id", "turn_idx", "subj_cui", "pred", "obj_cui", "confidence"
     )
@@ -2064,9 +2081,9 @@ def streaming_stateful_progress(spark, sf_dir):
     # partitioning is baked into the (fresh) checkpoint, so pinning a small
     # count here is safe and scoped; the result is partition-count-invariant
     # (deterministic per-conversation aggregate, stream == batch by design).
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = (
             conversation_progress(stream)
             .writeStream.format("memory")
@@ -2077,8 +2094,6 @@ def streaming_stateful_progress(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.sql(
         f"""SELECT conv_id, max(n_turns) AS n_turns, max(max_turn_idx) AS max_turn_idx
             FROM {sink} GROUP BY conv_id"""

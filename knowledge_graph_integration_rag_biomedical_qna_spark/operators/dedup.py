@@ -52,20 +52,42 @@ def _observe_hot_rows(df: DataFrame, flag_col, label: str, message: str) -> Data
 
     t = threading.Thread(target=_wait, daemon=True, name=f"hotwarn-{label}")
     t.start()
+    # drop finished entries and cap tracking of parked ones (never-evaluated
+    # plans park their waiter forever — see _MAX_TRACKED_WAITERS)
+    _HOT_WARN_THREADS[:] = [x for x in _HOT_WARN_THREADS if x.is_alive()][-_MAX_TRACKED_WAITERS:]
     _HOT_WARN_THREADS.append(t)
     return df
 
 
+# bookkeeping cap: a waiter whose DataFrame is never evaluated parks forever
+# in Observation.get (no cancel API); beyond this many we stop TRACKING the
+# oldest parked daemons (they cost one idle thread each until session end)
+_MAX_TRACKED_WAITERS = 64
+
+
 def flush_hot_warnings(timeout: float = 10.0) -> None:
-    """Join finished hot-warning waiter threads (bounded wait per thread) so
-    callers that just ran an action observe the warning deterministically."""
+    """Join finished hot-warning waiter threads so callers that just ran an
+    action observe the warning deterministically. `timeout` is a TOTAL
+    deadline shared across all parked threads, not per-thread (r4 review:
+    N never-evaluated plans previously stalled N x timeout)."""
+    import time
+
+    deadline = time.monotonic() + timeout
     pending = []
     while _HOT_WARN_THREADS:
         t = _HOT_WARN_THREADS.pop()
-        t.join(timeout)
-        if t.is_alive():  # its DataFrame was never evaluated - keep parked
-            pending.append(t)
-    _HOT_WARN_THREADS.extend(pending)
+        t.join(max(0.0, min(0.2, deadline - time.monotonic())))
+        if t.is_alive():
+            if time.monotonic() < deadline:
+                pending.append(t)  # retry within the deadline
+            # else: drop from tracking (stays parked as a daemon)
+    # one more sweep for threads that were mid-wakeup
+    still = []
+    for t in pending:
+        t.join(max(0.0, deadline - time.monotonic()))
+        if t.is_alive():
+            still.append(t)
+    _HOT_WARN_THREADS.extend(still[-_MAX_TRACKED_WAITERS:])
 
 
 # --- exact -----------------------------------------------------------------

@@ -74,10 +74,15 @@ def _matmul_topk_rows(
             out_q, out_v, out_c = [], [], []
             for t0 in range(0, len(qids), QUERY_TILE):
                 sl = slice(t0, t0 + QUERY_TILE)
-                cos = np.round((V @ Q[sl].T) / np.outer(nrm, qnrm[sl]), 6)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.round((V @ Q[sl].T) / np.outer(nrm, qnrm[sl]), 6)
                 for j, qid in enumerate(qids[sl]):
                     cj = cos[:, j]
-                    mask = vids != qid  # exclude self-match
+                    # exclude self-matches AND zero-norm 0/0 rows: the fold
+                    # kernel's division-by-zero yields NULL (sorted last,
+                    # excluded), while a NaN here would rank ABOVE every real
+                    # cosine under Spark's DESC ordering
+                    mask = (vids != qid) & np.isfinite(cj)
                     idx = np.flatnonzero(mask)
                     if not len(idx):
                         continue
@@ -120,9 +125,12 @@ def cosine_topk(
     query-batch size, because fold's materialized cross product is the term
     that explodes at scale while matmul stays linear in scanned rows.
     'auto' = matmul at >= MATMUL_MIN_DIM dims else fold (same adaptive
-    crossover as the sign-LSH signature UDF in operators/dedup.py). The
-    query batch must be broadcast-sized in BOTH kernels (fold broadcasts it;
-    matmul captures it in the task closure and tiles the query axis
+    crossover as the sign-LSH signature UDF in operators/dedup.py). NOTE:
+    'auto' resolves the dimensionality with one single-row action on the
+    QUERY side at plan-construction time (query-sized, not data-sized) —
+    plan-only callers and the hash-gated queries pass an explicit kernel.
+    The query batch must be broadcast-sized in BOTH kernels (fold broadcasts
+    it; matmul captures it in the task closure and tiles the query axis
     internally so per-batch score matrices stay bounded).
     Both kernels return the same top-k sets and 6dp cosines up to last-ulp
     rounding ties (parity-tested at 768-d)."""
@@ -149,9 +157,15 @@ def cosine_topk(
         scored = (
             base.join(F.broadcast(qn), F.col("vec_id") != F.col("query_id"))
             .withColumn(
+                # try_divide: a zero-norm vector has undefined cosine — NULL
+                # here (ANSI double/0 THROWS, so a bare `/` would fail the
+                # job), NaN in the matmul kernel; both kernels exclude it
                 "cosine",
-                F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+                F.round(
+                    F.try_divide(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnrm")), 6
+                ),
             )
+            .filter(F.col("cosine").isNotNull())
         )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -296,9 +310,12 @@ def _ivf_matmul_topk_rows(assignments: DataFrame, probe_rows: list, k: int) -> D
                 V = np.array([np.asarray(v, dtype=np.float64) for v in g["v"]])
                 vids = g["vec_id"].to_numpy()
                 nrm = np.sqrt((V * V).sum(axis=1))
-                cos = np.round((V @ Q.T) / np.outer(nrm, qnrm), 6)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.round((V @ Q.T) / np.outer(nrm, qnrm), 6)
                 for j, qid in enumerate(qids):
-                    mask = vids != qid
+                    # self-match + zero-norm NaN exclusion (fold yields NULL,
+                    # sorted last; NaN would win the DESC window)
+                    mask = (vids != qid) & np.isfinite(cos[:, j])
                     a = acc.setdefault(int(qid), ([], []))
                     a[0].append(cos[mask, j])
                     a[1].append(vids[mask])
@@ -366,9 +383,14 @@ def ivf_topk(
             assignments.join(F.broadcast(probes), "centroid_id")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn(
+                # try_divide: undefined (zero-norm) cosines -> NULL, excluded
+                # in both kernels (ANSI double/0 throws on a bare `/`)
                 "cosine",
-                F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+                F.round(
+                    F.try_divide(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnrm")), 6
+                ),
             )
+            .filter(F.col("cosine").isNotNull())
         )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

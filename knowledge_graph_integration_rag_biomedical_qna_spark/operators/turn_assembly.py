@@ -52,12 +52,9 @@ def assemble_turns(
         pass
     else:
         if num_partitions is None:
-            try:
-                num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
-            except Exception:  # Spark Connect: no client-side SparkContext
-                num_partitions = int(
-                    transcripts.sparkSession.conf.get("spark.default.parallelism", "32")
-                )
+            from ..session import default_parallelism
+
+            num_partitions = default_parallelism(transcripts.sparkSession)
         df = df.repartition(num_partitions, "conv_id")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         *[F.col(c).asc_nulls_last() for c in TURN_ORDER]

@@ -211,10 +211,9 @@ def build_kg(
     if persist:
         mention_stats = mention_stats.persist()
 
-    try:
-        default_par = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no client-side SparkContext
-        default_par = int(spark.conf.get("spark.default.parallelism", "32"))
+    from ..session import default_parallelism
+
+    default_par = default_parallelism(spark)
     candidates = candidate_table(
         mention_stats.select("alias_key", "surface"), aliases,
         score_partitions=default_par // 16 or 1,

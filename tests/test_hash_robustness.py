@@ -169,7 +169,7 @@ def test_r3_failures_are_integer_now(gate_described):
     assert "rank_score" not in kqr
     assert kqr["rank_score_micro"] == "BIGINT"
     q5 = dict(cols["q5_join_breadth"])
-    assert q5["revenue_c4"] == "BIGINT"
+    assert q5["revenue_c"] == "BIGINT"
     blend = dict(cols["kg_link_score_blend"])
     assert blend["score_micro"] == "BIGINT"
     els = dict(cols["embed_link_score"])
@@ -189,25 +189,28 @@ def test_materialized_oracles_never_use_pandas_round():
         "oracle",
         "materialize.py",
     )
+    import io
+    import tokenize
+
     with open(src_path) as f:
         src = f.read()
-    # strip comments/docstrings so prose mentioning .round() doesn't trip it
-    code_lines = []
-    in_doc = False
-    for line in src.splitlines():
-        stripped = line.strip()
-        if stripped.startswith('"""') or stripped.startswith("'''"):
-            if not (in_doc is False and stripped.endswith(('"""', "'''")) and len(stripped) > 3):
-                in_doc = not in_doc
-            continue
-        if in_doc or stripped.startswith("#"):
-            continue
-        code_lines.append(line.split("#")[0])
-    code = "\n".join(code_lines)
-    offenders = re.findall(r"\.\s*round\s*\(", code)
+    # token-level scan: an attribute-call `.round(` is OP'.' NAME'round'
+    # OP'(' — immune to docstrings/comments/strings (the previous line-based
+    # docstring stripper desynchronized on mid-line closes and silently
+    # skipped the numpy IVF oracle — r4 review finding)
+    toks = [
+        t for t in tokenize.generate_tokens(io.StringIO(src).readline)
+        if t.type in (tokenize.OP, tokenize.NAME)
+    ]
+    offenders = [
+        toks[i + 1].start[0]
+        for i in range(len(toks) - 2)
+        if toks[i].string == "." and toks[i + 1].string == "round"
+        and toks[i + 2].string == "("
+    ]
     assert not offenders, (
-        "pandas/np .round() in oracle/materialize.py — use the Decimal "
-        "ROUND_HALF_UP twins (_round_half_up6 / Decimal.quantize) instead"
+        f"pandas/np .round() at materialize.py lines {offenders} — use the "
+        "Decimal ROUND_HALF_UP twins (_round_half_up6 / Decimal.quantize)"
     )
 
 

@@ -747,3 +747,26 @@ def test_wav_malformed_fmt_rejected_not_crash():
         + b"data" + struct.pack("<I", len(data)) + data
     )
     assert _parse_wav(ok) == 8
+
+
+def test_cosine_topk_zero_norm_vector_excluded_both_kernels(spark):
+    """A zero-norm embedding has undefined cosine: the fold kernel's
+    division yields NULL, the matmul kernel 0/0 NaN — and Spark's DESC
+    window ranks NaN ABOVE every real value. Both kernels must exclude such
+    candidates entirely (r4 review finding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim = 300  # >= MATMUL_MIN_DIM so 'auto' would pick matmul
+    vecs = rng.standard_normal((30, dim)).astype(np.float32)
+    vecs[7] = 0.0  # the zero-norm candidate
+    rows = [(int(i), vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(3)
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fold = cosine_topk(emb, queries, k=29, kernel="fold").toPandas()
+    mm = cosine_topk(emb, queries, k=29, kernel="matmul").toPandas()
+    assert 7 not in set(fold["vec_id"]) and 7 not in set(mm["vec_id"])
+    assert list(fold.sort_values("rank")["vec_id"]) == list(mm.sort_values("rank")["vec_id"])
+    assert fold["cosine"].notna().all() and np.isfinite(mm["cosine"]).all()
