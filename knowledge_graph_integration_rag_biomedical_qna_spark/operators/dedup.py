@@ -510,8 +510,12 @@ def embedding_near_dups(
     probability PER plane) sign-LSH recall collapses, so the un-blocked path
     warns and routes to the brute-force all-pairs join instead (quadratic —
     at scale, callers wanting loose thresholds should pass `block_col`)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # shared vector-math helpers (similarity.py) — a private copy here is how
+    # the r4 ANSI divide-by-zero fix missed this call site (r4 review)
+    from .similarity import _as_double, _dot, _norm
+
+    v = _as_double(F.col(vec_col))
+    norm = _norm(v)
     base = embeddings.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
@@ -570,14 +574,16 @@ def embedding_near_dups(
         a = base.select("id", "v", "nrm", F.explode(probes).alias("blk")).alias("a")
         b = base.withColumnRenamed("sig", "blk").alias("b")
         joined = a.join(b, "blk")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("a.v"), F.col("b.v"))
     return (
         joined.filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        # try_divide: a zero-norm embedding has undefined cosine — ANSI mode
+        # (Spark 4 default) THROWS on a bare `/`; NULL is then dropped by the
+        # threshold filter (NULL >= t is NULL -> false)
+        .withColumn(
+            "cosine",
+            F.round(F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .distinct()
@@ -641,6 +647,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # free the previous iteration's checkpoint: without this, up to
+        # max_iters full label snapshots pin executor storage until session
+        # end (r4 review) — the new snapshot is already materialized (eager)
+        try:
+            labels.unpersist()
+        except Exception:
+            pass
         labels = new_labels
         if changed == 0:
             converged = True

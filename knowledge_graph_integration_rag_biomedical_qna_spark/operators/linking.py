@@ -53,11 +53,19 @@ def candidate_table(
     mostly pays per-task scheduling + Python-worker spin-up (measured 35% of
     the stage at local[32] with a 9-surface vocabulary). build_kg passes
     parallelism/16, which still gives a UMLS-scale vocabulary (~16M surfaces)
-    tens-to-hundreds of score tasks on a real cluster."""
+    tens-to-hundreds of score tasks on a real cluster.
+
+    Join strategy is left to Catalyst/AQE (no forced broadcast hint): a
+    normal dictionary auto-broadcasts under the session threshold, while a
+    >20M-alias dictionary — the regime broadcast_alias_keys spills to a
+    side-file for — must NOT be forced through the driver as a broadcast
+    table (r4 review: the hint reintroduced the very materialization the
+    spill path exists to avoid); AQE picks surfaces-side broadcast or a
+    shuffle join on alias_key as sizes dictate."""
     surfaces = mentions_or_triples_surfaces.select("alias_key", "surface").distinct()
     if score_partitions is not None:
         surfaces = surfaces.coalesce(max(1, score_partitions))
-    cands = surfaces.join(F.broadcast(aliases), "alias_key", "inner").withColumn(
+    cands = surfaces.join(aliases, "alias_key", "inner").withColumn(
         "score", _link_score_udf(F.col("surface"), F.col("alias"), F.col("prior"))
     )
     w = Window.partitionBy("alias_key", "surface").orderBy(

@@ -150,6 +150,11 @@ def cosine_topk(
         # join in the fold path); collecting it to the closure is the same
         # data movement without the crossJoin row blow-up
         q_rows = q.select("query_id", "qv").collect()
+        if not q_rows:  # empty batch: zero rows, not a numpy AxisError
+            spark = embeddings.sparkSession
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, cosine double, rank bigint"
+            )
         scored = _matmul_topk_rows(base, q_rows, k)
     else:
         base = base.withColumn("nrm", _norm(F.col("v")))
@@ -377,6 +382,11 @@ def ivf_topk(
         kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
     if kernel == "matmul":
         probe_rows = probes.select("query_id", "qv", "centroid_id").collect()
+        if not probe_rows:  # empty query batch: zero rows
+            spark = assignments.sparkSession
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, cosine double, rank bigint"
+            )
         scored = _ivf_matmul_topk_rows(assignments, probe_rows, k)
     else:
         scored = (

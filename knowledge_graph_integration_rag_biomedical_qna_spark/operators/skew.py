@@ -30,7 +30,19 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = CANON_SALT_BUCKETS,
 ) -> DataFrame:
-    """Join `big` (skewed on `on`) with `small`, salted `salt_buckets` ways."""
+    """Join `big` (skewed on `on`) with `small`, salted `salt_buckets` ways.
+
+    Only joins whose output is invariant under small-side replication are
+    allowed: 'inner' and 'left' (each big row carries exactly one salt, so
+    unmatched big rows surface once). 'right'/'full' would surface every
+    unmatched SMALL row salt_buckets times, and semi/anti project the wrong
+    side — use AQE skew-join for those shapes (r4 review finding)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): other join "
+            "types are not replication-invariant under small-side salting — "
+            "use spark.sql.adaptive.skewJoin for them"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(row_key)), F.lit(salt_buckets)).cast("int")
     )

@@ -53,22 +53,28 @@ def scd2_apply(
     end_col: str = "valid_to",
 ) -> DataFrame:
     """SCD2: `current` rows carry [ts_col, end_col) validity (open rows have
-    null end). Each update closes the key's open row at the update's ts and
-    appends a new open row."""
-    upd = updates.select(
-        *key_cols, F.col(ts_col).alias("_new_from")
-    )
+    null end). Updates CHAIN per key in ts order: the key's open row closes
+    at the FIRST update's ts, each update row closes at the NEXT update's ts
+    (lead window), and only the last update stays open — so a batch holding
+    several updates for one key yields one contiguous history, not duplicated
+    closed rows + multiple open rows (r4 review finding). ts must be unique
+    per key within a batch (same contract as latest_per_key's version)."""
+    end_type = current.schema[end_col].dataType
+    first_from = updates.groupBy(*key_cols).agg(F.min(ts_col).alias("_new_from"))
     closed = (
         current.filter(F.col(end_col).isNull())
-        .join(upd, key_cols, "inner")
-        .withColumn(end_col, F.col("_new_from"))
+        .join(first_from, key_cols, "inner")
+        .withColumn(end_col, F.col("_new_from").cast(end_type))
         .drop("_new_from")
     )
     untouched_open = current.filter(F.col(end_col).isNull()).join(
-        upd.select(*key_cols), key_cols, "left_anti"
+        first_from.select(*key_cols), key_cols, "left_anti"
     )
     history = current.filter(F.col(end_col).isNotNull())
-    new_rows = updates.withColumn(end_col, F.lit(None).cast(current.schema[end_col].dataType))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    new_rows = updates.withColumn(
+        end_col, F.lead(F.col(ts_col)).over(w).cast(end_type)
+    )
     return history.unionByName(closed).unionByName(untouched_open).unionByName(
         new_rows.select(*current.columns)
     )

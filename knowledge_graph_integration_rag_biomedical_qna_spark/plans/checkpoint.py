@@ -111,7 +111,11 @@ class ResumableKGRun:
             mentions = mentions_view(unified)
             raw_triples = triples_view(unified)
             surf = mentions.select("alias_key", "surface")
-            resolution = resolution_table(candidate_table(surf, aliases))
+            # persist: the pandas-UDF scoring subtree otherwise re-executes
+            # once per consuming broadcast (~5x per group: twice in
+            # resolve_triples, once in resolve_mentions, again for the
+            # lineage edge counts) — same reasoning as build_kg (r4 review)
+            resolution = resolution_table(candidate_table(surf, aliases)).persist()
             edges = resolve_triples(raw_triples, resolution).withColumn(
                 _BUCKET, bucket_of("conv_id", self.buckets)
             )
@@ -160,7 +164,16 @@ class ResumableKGRun:
                 .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
                 .withColumn("committed_at", F.current_timestamp())
             )
-            lineage.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+            # group-keyed dynamic partition overwrite, NOT append: a crash
+            # between this write and the done marker leaves the group
+            # unmarked, and the rerun must REPLACE its lineage rows instead
+            # of double-counting them (r4 review — the module's idempotency
+            # claim now covers the lineage table too)
+            lineage.withColumn(
+                "commit_group", F.lit(f"{min(grp)}-{max(grp)}")
+            ).write.mode("overwrite").partitionBy("commit_group").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(os.path.join(self.out_dir, "lineage"))
 
             # atomic done marker AFTER data + lineage are on disk
             marker = _marker_path(self.out_dir, grp)
@@ -168,10 +181,11 @@ class ResumableKGRun:
             with open(tmp, "w") as fh:
                 json.dump({"buckets": list(grp), "wall_sec": round(time.time() - t0, 3)}, fh)
             os.replace(tmp, marker)
-            for df in (turns, unified):
+            for df in (turns, unified, resolution):
                 df.unpersist()
             processed.append(grp)
 
+        aliases.unpersist()  # r4 review: was leaked for the session lifetime
         return {
             "groups_processed": len(processed),
             "buckets_done": sorted(_done_buckets(self.out_dir)),

@@ -39,3 +39,16 @@ def test_salted_left_join(spark):
     out = salted_join(big, small, ["k"], row_key="row_id", how="left")
     assert out.count() == 100
     assert out.filter(F.col("v").isNotNull()).count() == 0
+
+
+def test_salted_join_rejects_non_replication_invariant_how(spark):
+    """right/full/semi/anti are not invariant under small-side replication —
+    the helper must refuse them loudly (r4 review: a 'right' join surfaced
+    every unmatched small row salt_buckets times)."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "k")], "row_id int, k string")
+    small = spark.createDataFrame([("k", 1)], "k string, v int")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], row_key="row_id", how=how)

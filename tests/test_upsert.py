@@ -56,3 +56,33 @@ def test_scd2_apply(spark):
     assert sorted(zip(open_rows["k"], open_rows["v"])) == [(1, "a2"), (2, "b0")]
     closed_a1 = out[(out["v"] == "a1")].iloc[0]
     assert closed_a1["valid_to"] == t1
+
+
+def test_scd2_apply_chains_multiple_updates_per_key(spark):
+    """Two updates for one key in a single batch must produce a contiguous
+    history: open row closed at the first update's ts, first update closed at
+    the second's, only the last update open (r4 review: the previous
+    implementation duplicated the closed row per update and left multiple
+    open rows)."""
+    import pandas as pd
+
+    current = spark.createDataFrame(
+        [("k1", "v0", 10, None)],
+        "k string, val string, valid_from int, valid_to int",
+    )
+    updates = spark.createDataFrame(
+        [("k1", "v1", 20, None), ("k1", "v2", 30, None)],
+        "k string, val string, valid_from int, valid_to int",
+    )
+    out = (
+        scd2_apply(current, updates, ["k"])
+        .toPandas()
+        .sort_values("valid_from")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out.loc[0, "val"] == "v0" and out.loc[0, "valid_to"] == 20
+    assert out.loc[1, "val"] == "v1" and out.loc[1, "valid_to"] == 30
+    assert out.loc[2, "val"] == "v2" and pd.isna(out.loc[2, "valid_to"])
+    # exactly one open row
+    assert out["valid_to"].isna().sum() == 1
