@@ -108,10 +108,25 @@ class AliasIndex:
         alias_keys = tuple(alias_keys)  # guard: __init__ iterates twice
         self.singles: frozenset[str] = frozenset(k for k in alias_keys if " " not in k)
         multi: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        dropped = 0
         for k in alias_keys:
             parts = tuple(k.split(" "))
             if 1 < len(parts) <= MAX_MENTION_TOKENS:
                 multi.setdefault(parts[0], []).append((parts, k))
+            elif len(parts) > MAX_MENTION_TOKENS:
+                dropped += 1
+        if dropped:
+            # silently unreachable keys are a recall hole with zero diagnostic
+            # (r4 review) — the matcher never probes n-grams longer than
+            # MAX_MENTION_TOKENS, so say so loudly once per index build
+            import warnings
+
+            warnings.warn(
+                f"AliasIndex: {dropped} alias key(s) longer than "
+                f"MAX_MENTION_TOKENS={MAX_MENTION_TOKENS} tokens are "
+                "unreachable by the matcher and were dropped from the index; "
+                "raise core.config.MAX_MENTION_TOKENS to cover them"
+            )
         for v in multi.values():
             v.sort(key=lambda pk: -len(pk[0]))
         self.multi_first = multi

@@ -489,7 +489,9 @@ def f_scalar_functions(spark, sf_dir):
         F.upper(F.substring(F.trim("text"), 1, 10)).alias("head10"),
         F.regexp_extract(F.upper("text"), r"(OPTION\s*)?[\(\[]?([A-E])[\)\].: ]", 2).alias("choice"),
         F.regexp_extract("source", r"([0-9]+)$", 1).alias("src_num"),
-        F.concat_ws(". ", "lang", "source").alias("title_cat"),
+        # F.concat (NULL-propagating) matches the oracle's `||`; concat_ws
+        # would silently SKIP a NULL side (latent divergence, r4 review)
+        F.concat(F.col("lang"), F.lit(". "), F.col("source")).alias("title_cat"),
         F.length("text").cast("bigint").alias("n_len"),
     )
 
@@ -691,7 +693,7 @@ def kg_turn_assembly_window(spark, sf_dir):
     r"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
     FROM documents
     """,
@@ -712,7 +714,7 @@ def text_token_count(spark, sf_dir):
     r"""
     WITH base AS (
       SELECT doc_id, text,
-             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks,
              length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
       FROM documents
     ), ratios AS (
@@ -764,7 +766,7 @@ def text_quality_score(spark, sf_dir):
     r"""
     WITH c AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
       FROM documents
     ), cnt AS (
       SELECT doc_id,
@@ -796,7 +798,7 @@ def text_lang_id(spark, sf_dir):
     SELECT doc_id,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+               list_transform(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                               t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
              (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
     FROM documents
@@ -829,7 +831,7 @@ def dedup_exact_hash(spark, sf_dir):
 # shingle CTE shared by minhash queries: word 3-grams, distinct per doc
 _SHINGLE_CTE = r"""
     toks AS (
-      SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ),
     sh AS (
@@ -888,7 +890,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     SELECT i.id_a, i.id_b,
            round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
     FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
-    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.35
+    WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= 0.35
     """,
 )
 def dedup_minhash_pairs(spark, sf_dir):
@@ -911,7 +913,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     SELECT i.id_a, i.id_b,
            round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
     FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
-    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+    WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -943,7 +945,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     pairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
-      WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+      WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -957,7 +959,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     comp AS (SELECT id, min(reach) AS group_id FROM walk GROUP BY id),
     er AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY md5(text)),
     lc AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM documents
     ),
     cnt AS (
@@ -979,8 +981,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ),
     qbase AS (
       SELECT doc_id, text,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
-             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+             regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_punct
       FROM documents
     ),
     qratios AS (
@@ -1090,7 +1092,7 @@ def corpus_clean_pipeline(spark, sf_dir):
     pairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
-      WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+      WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1141,7 +1143,7 @@ def dedup_duplicate_groups(spark, sf_dir):
     SELECT i.id_a, i.id_b,
            round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
     FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
-    WHERE n_inter / (za.n + zb.n - n_inter) >= 0.35
+    WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= 0.35
     """,
 )
 def dedup_minhash_pairs_fast(spark, sf_dir):
@@ -1209,7 +1211,7 @@ def ann_cosine_topk(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.5
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5
     """,
 )
 def ann_threshold_pairs(spark, sf_dir):
@@ -1823,6 +1825,11 @@ def kg_streaming_ingest(spark, sf_dir):
     out = edges.cache()
     out.count()  # materialize before the temp input can be cleaned up
     shutil.rmtree(in_dir, ignore_errors=True)
+    # out_dir must outlive the cached df (cache eviction re-reads the
+    # parquet); reclaim it at process exit instead of leaking per run
+    import atexit
+
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     return out
 
 
@@ -1852,6 +1859,10 @@ def kg_checkpointed_run(spark, sf_dir):
     )
     out = edges.cache()
     out.count()
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     return out
 
 
@@ -1990,7 +2001,7 @@ def distinct_aggregation(spark, sf_dir):
     "kg_turn_assembly_synth",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
     ),
     base AS (
       SELECT doc_id, t, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks
@@ -2038,7 +2049,7 @@ def kg_turn_assembly_synth(spark, sf_dir):
     "streaming_stateful_progress",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
     ),
     base AS (
       SELECT doc_id, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks
@@ -2094,6 +2105,13 @@ def streaming_stateful_progress(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    # the memory sink holds the rows — the input and checkpoint dirs are
+    # dead weight now; repeated gate/bench rounds were leaking a transcript
+    # copy per invocation into /tmp (r4 review)
+    import shutil
+
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
     return spark.sql(
         f"""SELECT conv_id, max(n_turns) AS n_turns, max(max_turn_idx) AS max_turn_idx
             FROM {sink} GROUP BY conv_id"""
@@ -2130,7 +2148,7 @@ def kg_two_hop_paths(spark, sf_dir):
 
 _SYNTH_SQL_CTE = """
     toks0 AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
     ),
     base0 AS (
       SELECT doc_id, t, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n FROM toks0
@@ -2162,7 +2180,7 @@ _MENTION_SYNTH_SQL = f"""
     WITH {_SYNTH_SQL_CTE},
     tok AS (
       SELECT conv_id, turn_idx,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS w
       FROM synth
     )
     SELECT conv_id, turn_idx,

@@ -111,7 +111,7 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     Shingle = space-joined n consecutive tokens; texts shorter than n tokens
     yield their full token string as the single shingle.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
     shingle = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
@@ -352,7 +352,7 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")).alias("tok"),
     ).withColumn("th", F.crc32(F.col("tok")))
     votes = [
         F.sum(

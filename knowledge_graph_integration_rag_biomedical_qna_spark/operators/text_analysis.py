@@ -26,7 +26,7 @@ FINGERPRINT_MULT = 131
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -39,11 +39,11 @@ def token_count(text_col: str = "text") -> Column:
 def bpe_ish_token_count(text_col: str = "text") -> Column:
     """BPE-ish sub-token count: alpha runs, digit runs, and punct singletons
     (regex approximation of byte-pair pretokenization)."""
-    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"), 0))
 
 
 def punct_ratio(text_col: str = "text") -> Column:
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 \t\n\x0b\f\r]", ""))
     return F.round(n_punct / F.greatest(F.length(F.col(text_col)), F.lit(1)), 6)
 
 

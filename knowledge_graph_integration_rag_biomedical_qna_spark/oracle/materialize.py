@@ -75,7 +75,7 @@ _ALIAS_SPEC = [
 def synth_transcripts_pdf(docs: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for did, text in zip(docs["doc_id"], docs["text"]):
-        toks = re.split(r"\s+", str(text).strip()) if text is not None else [""]
+        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).strip()) if text is not None else [""]
         n = max(-(-len(toks) // _TURN_TOKENS), 1)
         for ti in range(n):
             chunk = " ".join(toks[ti * _TURN_TOKENS : (ti + 1) * _TURN_TOKENS])
@@ -264,7 +264,7 @@ def dedup_simhash_pdf(sf_dir: str, bits: int = 32, band_bits: int = 16, bands: i
     for did, text in zip(docs["doc_id"], docs["text"]):
         if text is None:
             continue
-        toks = re.split(r"\s+", str(text).lower().strip())
+        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip())
         votes = np.zeros(bits, dtype=np.int64)
         for tok in toks:
             h = zlib.crc32(tok.encode("utf-8"))

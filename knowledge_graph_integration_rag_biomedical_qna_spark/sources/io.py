@@ -92,9 +92,19 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        # crash-safe swap: park the old table under a .old name FIRST so the
+        # final path is never unbound (rmtree-then-rename had a window where
+        # a crash lost the live table and left only the .tmp dir — r4 review)
+        old = final + ".old-" + uuid.uuid4().hex[:8]
         if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+            os.replace(final, old)
+        try:
+            os.replace(tmp, final)
+        except Exception:
+            if os.path.isdir(old):  # roll the old table back into place
+                os.replace(old, final)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
 
     def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         if self.iceberg:

@@ -50,7 +50,7 @@ def synth_aliases(spark: SparkSession) -> DataFrame:
 
 def synth_transcripts(docs: DataFrame) -> DataFrame:
     """documents -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     n_turns = F.greatest(F.ceil(F.size(toks) / F.lit(TURN_TOKENS)).cast("int"), F.lit(1))
     turns = docs.select(
         F.col("doc_id"),
