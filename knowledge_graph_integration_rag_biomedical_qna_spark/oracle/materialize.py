@@ -73,9 +73,19 @@ _ALIAS_SPEC = [
 
 
 def synth_transcripts_pdf(docs: pd.DataFrame) -> pd.DataFrame:
+    """Twin of sources/synth.synth_transcripts, edge-for-edge (r4 review):
+    - strip(' ') not strip(): Spark F.trim removes SPACES only, so a
+      tab-prefixed text keeps its leading separator (and thus a leading
+      empty token) in both engines;
+    - text=None: Spark NULL-propagates through trim/split/concat and emits
+      exactly ONE turn with NULL text (size(NULL)=-1 -> n_turns=1), which
+      stage [1] later drops — mirror that, do not invent tokens."""
     rows = []
     for did, text in zip(docs["doc_id"], docs["text"]):
-        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).strip()) if text is not None else [""]
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            rows.append((f"conv_{did}", 0, "user", None, "", 0))
+            continue
+        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).strip(" "))
         n = max(-(-len(toks) // _TURN_TOKENS), 1)
         for ti in range(n):
             chunk = " ".join(toks[ti * _TURN_TOKENS : (ti + 1) * _TURN_TOKENS])
@@ -204,7 +214,7 @@ def kg_question_retrieval_pdf(sf_dir: str, k: int = 5, n_questions: int = 16) ->
         hits["link_score"] * hits["avg_confidence"] * np.log1p(hits["n_evidence"]) * 1e6
     ).to_numpy()
     hits["rank_score_micro"] = np.array(
-        [int(decimal.Decimal(float(x)).quantize(decimal.Decimal("1"),
+        [int(decimal.Decimal(repr(float(x))).quantize(decimal.Decimal("1"),
                                                 rounding=decimal.ROUND_HALF_UP))
          for x in raw],
         dtype="int64",
@@ -264,7 +274,7 @@ def dedup_simhash_pdf(sf_dir: str, bits: int = 32, band_bits: int = 16, bands: i
     for did, text in zip(docs["doc_id"], docs["text"]):
         if text is None:
             continue
-        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip())
+        toks = re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip(" "))
         votes = np.zeros(bits, dtype=np.int64)
         for tok in toks:
             h = zlib.crc32(tok.encode("utf-8"))
@@ -367,7 +377,7 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
             # F.round(acc * 1e6).cast("bigint"): identical FP product, then
             # Decimal HALF_UP (no raw double reaches the driver hasher)
             cos_micro = int(
-                decimal.Decimal(acc * 1e6).quantize(
+                decimal.Decimal(repr(acc * 1e6)).quantize(
                     decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
                 )
             )
@@ -382,12 +392,19 @@ def embed_link_score_pdf(sf_dir: str) -> pd.DataFrame:
 
 
 def _round_half_up6(x: float) -> float:
-    """Spark F.round semantics: HALF_UP on the exact binary double (Spark
-    rounds via BigDecimal(double)), vs Python round()'s half-even."""
+    """Spark F.round semantics: HALF_UP on the SHORTEST-REPR decimal of the
+    double — Scala's BigDecimal(double) wraps java BigDecimal.valueOf, which
+    goes through Double.toString, NOT the exact binary expansion. Verified
+    live (r4 review): F.round(0.9533335, 6) = 0.953334 (repr '0.9533335'
+    rounds up) while Decimal(exact binary 0.95333349999...) would round
+    DOWN. Python's repr() is the same shortest-round-trip algorithm, so
+    Decimal(repr(x)) is the bit-exact twin; Decimal(x) is not."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
     )
 
 

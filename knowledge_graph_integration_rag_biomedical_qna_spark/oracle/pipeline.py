@@ -22,7 +22,9 @@ def oracle_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
     df = transcripts.sort_values(
         ["conv_id", "turn_idx", "ts", "role", "text", "tool"], kind="mergesort"
     ).drop_duplicates(["conv_id", "turn_idx"], keep="first")
-    df = df[df["text"].fillna("").str.strip() != ""]
+    # strip(" ") only: Spark F.trim removes SPACES, so a tab/newline-only
+    # text is KEPT by the engine and must be kept here too (r4 review)
+    df = df[df["text"].fillna("").str.strip(" ") != ""]
     return df.reset_index(drop=True)
 
 

@@ -28,18 +28,41 @@ from ..operators.linking import candidate_table, resolution_table
 def link_questions(
     spark: SparkSession, questions: DataFrame, aliases: DataFrame, keys_bc
 ) -> DataFrame:
-    """questions(question_id, text) -> (question_id, cui, link_score)."""
+    """questions(question_id, text) -> (question_id, cui, link_score).
+
+    question_id keeps its INPUT type: the id rides the extractor as a string
+    conv_id, then joins back to the questions table to restore the original
+    column (r4 review: returning the stringified id made the gated output
+    string-typed against an int32 oracle, and string ordering diverges from
+    numeric past 9 questions). The per-question mention table is persisted:
+    it feeds both candidate generation and the resolution join, and without
+    a cache the mapInArrow extraction subtree re-executes per consumer (the
+    same no-cross-branch-CSE behavior build_kg persists `unified` for) —
+    with `spark.sql.shuffle.partitions`-scoped scoring parallelism via
+    session.default_parallelism."""
+    from ..session import default_parallelism
+
     turns_like = questions.select(
         F.col("question_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"),
     )
-    mentions = detect_mentions_df(turns_like, keys_bc)
-    resolution = resolution_table(candidate_table(mentions.select("alias_key", "surface"), aliases))
+    mentions = detect_mentions_df(turns_like, keys_bc).persist()
+    resolution = resolution_table(
+        candidate_table(
+            mentions.select("alias_key", "surface"), aliases,
+            score_partitions=default_parallelism(spark) // 16 or 1,
+        )
+    )
+    qid = questions.select(
+        F.col("question_id").cast("string").alias("conv_id"),
+        F.col("question_id"),
+    ).distinct()
     return (
         mentions.join(F.broadcast(resolution), ["alias_key", "surface"])
+        .join(F.broadcast(qid), "conv_id")
         .select(
-            F.col("conv_id").alias("question_id"),
+            "question_id",
             "cui",
             F.col("score").alias("link_score"),
         )
@@ -112,8 +135,12 @@ def retrieve_evidence(
     two quantized doubles times a libm log1p differs between JVM and numpy in
     the last ulp, and round(x, 6) of two almost-equal doubles is not
     bit-identical even when it prints identically at 9 dp (the r3 driver-hash
-    failure). An integer survives any engine's hasher byte-for-byte. Ties
-    pinned on (subj_cui, pred, obj_cui). Top-k via per-question window (T1).
+    failure). The integer removes the REPRESENTATION hazard entirely; the
+    residual risk is a genuine cross-engine half-boundary crossing (the
+    product landing within ~1 ulp of N.5 micro-units, probability ~2^-40 per
+    row) — inherent to any quantization of a libm-bearing expression, and
+    strictly smaller than the float column's combined hazards. Ties pinned
+    on (subj_cui, pred, obj_cui). Top-k via per-question window (T1).
     """
     subj_hits = kg_edge_stats.join(
         question_links.withColumnRenamed("cui", "subj_cui"), "subj_cui"

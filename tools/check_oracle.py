@@ -28,6 +28,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
+        if v == 0:
+            v = 0.0  # -0.0 and 0.0 are semantically equal; don't print '-0'
         return f"{round(v, 9):.9f}"
     if isinstance(v, bool):
         return str(int(v))

@@ -122,6 +122,13 @@ def main():
     r32 = json.loads(
         [ln for ln in _run(MEASURE.format(repo=REPO, cpus=n_hi, repeats=repeats, input=INPUT)).splitlines() if ln.startswith("{")][-1]
     )
+    # the "outputs identical at both levels" claim must be CHECKED, not
+    # assumed (r4 review): abort the pair loudly on any divergence
+    if (r8["edges"], r8["nodes"], r8["turns"]) != (r32["edges"], r32["nodes"], r32["turns"]):
+        raise SystemExit(
+            f"output divergence between local[{n_lo}] and local[{n_hi}]: "
+            f"{r8} vs {r32} — scaling pair NOT recorded"
+        )
     eff = (r8["sec"] / r32["sec"]) / (n_hi / n_lo)
     print(json.dumps({f"N_{n_lo}": r8, f"N4_{n_hi}": r32, "scaling_efficiency": round(eff, 3)}))
 
@@ -139,7 +146,7 @@ def main():
         fh.write(json.dumps(rec) + "\n")
     pairs = [json.loads(ln) for ln in open(pairs_path) if ln.strip()]
     same = [p for p in pairs if p["n_lo"] == n_lo and p["n_hi"] == n_hi
-            and p["replicate"] == replicate]
+            and p["replicate"] == replicate and p["turns"] == rec["turns"]]
     effs = sorted(p["efficiency"] for p in same)
     median = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
