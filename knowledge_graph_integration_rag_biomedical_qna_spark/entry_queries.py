@@ -1350,10 +1350,10 @@ def hourly_event_counts(spark, sf_dir):
            CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT)
                      * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) // 100)
                 AS BIGINT) AS revenue_c,
-           CAST(round(avg(CAST(round(l_quantity) AS BIGINT)) * 1e4) AS BIGINT)
-             AS avg_qty_e4,
-           CAST(round(avg(CAST(round(l_discount * 100) AS BIGINT)) * 1e4) AS BIGINT)
-             AS avg_disc_c_e4,
+           CAST((CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) * 10000
+                 + count(*) // 2) // count(*) AS BIGINT) AS avg_qty_e4,
+           CAST((CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000
+                 + count(*) // 2) // count(*) AS BIGINT) AS avg_disc_c_e4,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1365,10 +1365,14 @@ def q1_pricing_summary(spark, sf_dir):
 
     Monetary/ratio aggregates are exact-integer: per-row rounding to cents
     BEFORE the sum makes every aggregate an integer sum (deterministic in any
-    engine, any partition order), and the two averages are exact-integer-sum
-    divided by count, emitted as e4 fixed-point BIGINT. No summation-order
-    noise can reach the driver's hasher (replaces the scaled-sum whitelist
-    argument this query used through r3). quantity/discount are
+    engine, any partition order), and the two averages are PURE-INTEGER
+    half-up fixed-point: (sum*10000 + n div 2) div n — never a float avg()
+    (Spark's Average over LongType accumulates a DOUBLE sum, so a
+    round(avg*1e4) form would reacquire summation-order sensitivity once
+    per-group sums pass 2^53; the integer form is exact while
+    sum*10000 < 2^63, i.e. to ~5e17 quantity-units per group — comfortably
+    past the 100 TB design point, r4 advice). No summation-order noise can
+    reach the driver's hasher. quantity/discount are
     integer-valued/cent-valued in the generator, so the per-row rounds are
     lossless. Revenue collapses cents^2 to CENTS per row (integer half-up
     div: +50 // 100, identical in Spark `div` and DuckDB `//` on positive
@@ -1390,9 +1394,16 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(qty_i).alias("sum_qty"),
             F.sum(price_c).alias("sum_price_c"),
             F.sum(rev_c).alias("revenue_c"),
-            F.round(F.avg(qty_i) * F.lit(1e4)).cast("bigint").alias("avg_qty_e4"),
-            F.round(F.avg(disc_c) * F.lit(1e4)).cast("bigint").alias("avg_disc_c_e4"),
+            F.sum(disc_c).alias("_sum_disc_c"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_price_c", "revenue_c",
+            # integer half-up avg*1e4: (sum*10000 + n div 2) div n — exact in
+            # any engine/partition order; `div`/`//` agree on positive longs
+            F.expr("(sum_qty * 10000 + n div 2) div n").alias("avg_qty_e4"),
+            F.expr("(_sum_disc_c * 10000 + n div 2) div n").alias("avg_disc_c_e4"),
+            "n",
         )
     )
 

@@ -145,6 +145,99 @@ def extract_all_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
     )
 
 
+def extract_collapsed_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
+    """Stages [2]+[3] in one Arrow pass, with mention rows COLLAPSED to
+    per-task partial stats before they ever leave the Python worker.
+
+    Motivation (r5 steady-state profile): per-occurrence mention rows are
+    ~92% of the unified output (1.97M of 2.13M rows at bench scale), but the
+    nodes/edges product only ever re-reads them as the vocabulary-sized
+    (alias_key, surface, n) aggregate — so caching them is pure dead weight:
+    they dominate the Arrow->JVM transfer, the columnar cache build (the
+    steady pipeline's single largest phase, ~60% of wall), and the
+    mention-stats shuffle. Here each task group-bys its mention hits
+    Arrow-side (vectorized hash agg, vocab-sized result) and emits them as
+    kind='s' rows carrying the partial count in `mention_idx`; triple rows
+    (kind='t') pass through untouched. `mention_stats` then sums the
+    partials — bit-identical counts to the full path (parity-tested in
+    test_pipeline_parity), with the transcript-sized mention traffic gone.
+
+    Callers needing per-occurrence mention rows (tok spans) run
+    `extract_all_df` instead — build_kg keeps its `.mentions` view lazily on
+    that path."""
+    import numpy as np
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..core.vectorized import extract_unified_batches
+
+        keys = alias_keys_bc.value
+        partials = []
+        for batch in batches:
+            for rb in extract_unified_batches(
+                batch.column("conv_id"), batch.column("turn_idx"),
+                batch.column("text"), keys,
+            ):
+                is_t = pc.equal(rb.column("kind"), "t")
+                t_rb = rb.filter(is_t)
+                if len(t_rb):
+                    yield t_rb
+                m_tbl = pa.Table.from_batches([rb.filter(pc.invert(is_t))]).select(
+                    ["alias_key", "surface"]
+                )
+                if len(m_tbl):
+                    partials.append(
+                        m_tbl.group_by(["alias_key", "surface"]).aggregate(
+                            [([], "count_all")]
+                        )
+                    )
+        if partials:
+            agg = (
+                pa.concat_tables(partials)
+                .group_by(["alias_key", "surface"])
+                .aggregate([("count_all", "sum")])
+            )
+            n = len(agg)
+            zeros = pa.array(np.zeros(n, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([""] * n, pa.string()),                    # conv_id
+                    zeros,                                              # turn_idx
+                    zeros,                                              # sent_idx
+                    pa.array(["s"] * n, pa.string()),                   # kind
+                    pc.cast(agg.column("count_all_sum").combine_chunks(), pa.int32()),
+                    agg.column("surface").combine_chunks(),
+                    agg.column("alias_key").combine_chunks(),
+                    pa.nulls(n, pa.int32()),                            # tok_start
+                    pa.nulls(n, pa.int32()),                            # tok_end
+                    pa.nulls(n, pa.string()),                           # subj_surface
+                    pa.nulls(n, pa.string()),                           # subj_key
+                    pa.nulls(n, pa.string()),                           # pred
+                    pa.nulls(n, pa.string()),                           # obj_surface
+                    pa.nulls(n, pa.string()),                           # obj_key
+                    pa.nulls(n, pa.float64()),                          # confidence
+                ],
+                names=_UNIFIED_COLS,
+            )
+
+    return turns.select("conv_id", "turn_idx", "text").mapInArrow(fn, UNIFIED_SCHEMA)
+
+
+def mention_stats_view(unified_collapsed: DataFrame) -> DataFrame:
+    """(alias_key, surface, n_mentions) from a collapsed extraction: sum the
+    per-task partial counts (kind='s' rows carry them in mention_idx). Counts
+    equal the full path's COUNT(*) over per-occurrence rows exactly."""
+    from pyspark.sql import functions as F
+
+    return (
+        unified_collapsed.filter(F.col("kind") == "s")
+        .groupBy("alias_key", "surface")
+        .agg(F.sum("mention_idx").cast("long").alias("n_mentions"))
+    )
+
+
 def row_path_unified_pdf(pdf: pd.DataFrame, keys) -> pd.DataFrame:
     """Per-row Python reference implementation of one unified-extraction batch
     (the original kernel). Kept as the specification the vectorized kernel is

@@ -36,6 +36,38 @@ def _norm(a):
 # operators/dedup.py's sign-LSH signature UDF).
 MATMUL_MIN_DIM = 256
 
+# The matmul kernels capture the query side in the task closure, which means
+# one driver-side collect of it. The query batch is broadcast-sized by
+# contract, but "by contract" is not a guard: above this many collected rows
+# (queries for cosine_topk; query x nprobe probes for ivf_topk) the kernel
+# routes back to the fold/broadcast path with a warning instead of OOMing
+# the driver — the same limit(cap+1) probe pattern as the alias-dictionary
+# spill (plans/pipeline.py broadcast_alias_keys).
+MATMUL_MAX_QUERY_ROWS = 100_000
+
+
+def _guarded_collect(df: DataFrame, what: str, cap: int | None = None):
+    """limit(cap+1).collect() probe: fetches the rows when they fit (the
+    common, broadcast-sized case — one job, no separate count), returns None
+    with a warning when they overflow so the caller can route to a
+    distributed kernel. The driver never holds more than cap+1 rows.
+    `cap=None` reads the module constant at call time (monkeypatch-friendly
+    for tests that exercise the overflow route without 100k rows)."""
+    if cap is None:
+        cap = MATMUL_MAX_QUERY_ROWS
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        import warnings
+
+        warnings.warn(
+            f"matmul kernel: {what} exceeds {cap} rows; the query-side "
+            "closure capture would risk driver OOM — falling back to the "
+            "distributed fold/broadcast kernel. Shrink the query batch "
+            "(chunk it) to re-enable the matmul path."
+        )
+        return None
+    return rows
+
 
 def _matmul_topk_rows(
     base: DataFrame,
@@ -148,15 +180,20 @@ def cosine_topk(
     if kernel == "matmul":
         # query side is broadcast-sized by contract (it rides a broadcast
         # join in the fold path); collecting it to the closure is the same
-        # data movement without the crossJoin row blow-up
-        q_rows = q.select("query_id", "qv").collect()
-        if not q_rows:  # empty batch: zero rows, not a numpy AxisError
+        # data movement without the crossJoin row blow-up. Guarded: above
+        # MATMUL_MAX_QUERY_ROWS the collect is refused and the fold kernel
+        # (broadcast join, no driver materialization) takes over.
+        q_rows = _guarded_collect(q.select("query_id", "qv"), "query table")
+        if q_rows is None:
+            kernel = "fold"
+        elif not q_rows:  # empty batch: zero rows, not a numpy AxisError
             spark = embeddings.sparkSession
             return spark.createDataFrame(
                 [], "query_id long, vec_id long, cosine double, rank bigint"
             )
-        scored = _matmul_topk_rows(base, q_rows, k)
-    else:
+        else:
+            scored = _matmul_topk_rows(base, q_rows, k)
+    if kernel != "matmul":
         base = base.withColumn("nrm", _norm(F.col("v")))
         qn = q.withColumn("qnrm", _norm(F.col("qv")))
         scored = (
@@ -381,14 +418,21 @@ def ivf_topk(
         first = q.select(F.size("qv").alias("d")).first()
         kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
     if kernel == "matmul":
-        probe_rows = probes.select("query_id", "qv", "centroid_id").collect()
-        if not probe_rows:  # empty query batch: zero rows
+        # guarded like cosine_topk: probe rows = queries x nprobe, still
+        # broadcast-sized by contract; overflow routes to the fold kernel
+        probe_rows = _guarded_collect(
+            probes.select("query_id", "qv", "centroid_id"), "probe table (queries x nprobe)"
+        )
+        if probe_rows is None:
+            kernel = "fold"
+        elif not probe_rows:  # empty query batch: zero rows
             spark = assignments.sparkSession
             return spark.createDataFrame(
                 [], "query_id long, vec_id long, cosine double, rank bigint"
             )
-        scored = _ivf_matmul_topk_rows(assignments, probe_rows, k)
-    else:
+        else:
+            scored = _ivf_matmul_topk_rows(assignments, probe_rows, k)
+    if kernel != "matmul":
         scored = (
             assignments.join(F.broadcast(probes), "centroid_id")
             .filter(F.col("vec_id") != F.col("query_id"))

@@ -172,6 +172,8 @@ def build_kg(
     aliases: DataFrame,
     persist: bool = True,
     assume_clustered: bool = False,
+    collapse_mention_cache: bool = True,
+    alias_index=None,
 ) -> KGResult:
     """Compose stages [1]-[6].
 
@@ -188,26 +190,56 @@ def build_kg(
     whole pipeline runs with ZERO data-sized exchanges (plan-tested in
     tests/test_bucketing.py) — the right storage layout at 100 TB, where
     one bucketed write amortizes the shuffle across every downstream job.
+
+    `collapse_mention_cache=True` (default, r5): the extraction pass emits
+    per-occurrence mention rows already collapsed to per-task partial
+    (alias_key, surface, n) stats — they were ~92% of the cached unified
+    rows but are only ever re-read as the vocab-sized aggregate, so the
+    collapse removes most of the Arrow->JVM transfer, the cache build (the
+    steady pipeline's dominant phase), and the mention-stats shuffle.
+    kg_edges/kg_nodes/mention_stats are bit-identical either way
+    (parity-tested); `.mentions` stays per-occurrence via a LAZY uncached
+    second extraction pass — consumers of token spans pay for that pass only
+    if they actually read it (tests/tools do; the nodes+edges product never
+    does). Pass False to get the single-pass unified cache that `.mentions`
+    shares.
+
+    `alias_index`: a prebuilt broadcast_alias_keys() result. A long-lived
+    deployment ships the dictionary once, not once per job — steady-state
+    callers (bench, repeated builds against one dictionary) hoist it; the
+    default builds it here.
     """
     from pyspark.sql import functions as F
 
+    from ..operators.extraction import extract_collapsed_df, mention_stats_view
+
     turns = assemble_turns(transcripts, assume_clustered=assume_clustered)
-    keys_bc = broadcast_alias_keys(spark, aliases)
+    keys_bc = alias_index if alias_index is not None else broadcast_alias_keys(spark, aliases)
     # one Arrow pass over the turn text produces BOTH mentions and triples;
     # the persisted unified table is the stage boundary both branches reuse
-    unified = extract_all_df(turns, keys_bc)
+    if collapse_mention_cache:
+        unified = extract_collapsed_df(turns, keys_bc)
+    else:
+        unified = extract_all_df(turns, keys_bc)
     if persist:
         unified = unified.persist()
-    mentions = mentions_view(unified)
     raw_triples = triples_view(unified)
 
-    # ONE transcript-sized aggregate collapses mentions to vocabulary-sized
-    # (alias_key, surface, n) — map-side combine absorbs hot-entity skew.
-    # It feeds BOTH candidate generation and node canonicalization, so the
-    # mention rows are never re-read after this pass.
-    mention_stats = mentions.groupBy("alias_key", "surface").agg(
-        F.count(F.lit(1)).alias("n_mentions")
-    )
+    if collapse_mention_cache:
+        # per-occurrence view recomputes lazily (uncached) — see docstring
+        mentions = mentions_view(extract_all_df(turns, keys_bc))
+        # vocab-sized already: sum the per-task partials
+        mention_stats = mention_stats_view(unified)
+    else:
+        mentions = mentions_view(unified)
+        # ONE transcript-sized aggregate collapses mentions to
+        # vocabulary-sized (alias_key, surface, n) — map-side combine
+        # absorbs hot-entity skew. It feeds BOTH candidate generation and
+        # node canonicalization, so the mention rows are never re-read
+        # after this pass.
+        mention_stats = mentions.groupBy("alias_key", "surface").agg(
+            F.count(F.lit(1)).alias("n_mentions")
+        )
     if persist:
         mention_stats = mention_stats.persist()
 

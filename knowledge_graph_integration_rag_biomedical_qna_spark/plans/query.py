@@ -48,26 +48,35 @@ def link_questions(
         F.col("text"),
     )
     mentions = detect_mentions_df(turns_like, keys_bc).persist()
-    resolution = resolution_table(
-        candidate_table(
-            mentions.select("alias_key", "surface"), aliases,
-            score_partitions=default_parallelism(spark) // 16 or 1,
+    try:
+        resolution = resolution_table(
+            candidate_table(
+                mentions.select("alias_key", "surface"), aliases,
+                score_partitions=default_parallelism(spark) // 16 or 1,
+            )
         )
-    )
-    qid = questions.select(
-        F.col("question_id").cast("string").alias("conv_id"),
-        F.col("question_id"),
-    ).distinct()
-    return (
-        mentions.join(F.broadcast(resolution), ["alias_key", "surface"])
-        .join(F.broadcast(qid), "conv_id")
-        .select(
-            "question_id",
-            "cui",
-            F.col("score").alias("link_score"),
+        qid = questions.select(
+            F.col("question_id").cast("string").alias("conv_id"),
+            F.col("question_id"),
+        ).distinct()
+        linked = (
+            mentions.join(F.broadcast(resolution), ["alias_key", "surface"])
+            .join(F.broadcast(qid), "conv_id")
+            .select(
+                "question_id",
+                "cui",
+                F.col("score").alias("link_score"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+        # materialize the (question-sized) link table eagerly, then release
+        # the mentions cache — the previous shape persisted mentions for the
+        # session lifetime (r4 advice: leaked cache blocks per invocation).
+        # localCheckpoint blocks are ContextCleaner-collected once the
+        # returned DataFrame goes out of scope, unlike a CacheManager entry.
+        return linked.localCheckpoint(eager=True)
+    finally:
+        mentions.unpersist()
 
 
 def neighborhood(kg_edge_stats: DataFrame, seeds: DataFrame, hops: int = 1, k: int = 50) -> DataFrame:
