@@ -20,20 +20,82 @@ from pyspark.sql import functions as F
 
 # --- deferred hot-key warnings ----------------------------------------------
 
-_HOT_WARN_THREADS: list = []
+# pending (Observation, message) pairs not yet delivered; ONE shared daemon
+# poller drains them (r4 advice: the previous one-thread-per-DataFrame shape
+# parked a thread forever for every plan-only caller — Observation.get has no
+# cancel — so plan builders leaked threads for the session lifetime)
+_PENDING_OBS: list = []
+_POLLER: dict = {"thread": None}
+_OBS_LOCK = None  # created lazily (threading import stays function-local)
+
+
+def _obs_ready(obs) -> bool:
+    """Non-blocking probe: has the observed DataFrame finished its first
+    action? Uses the JVM Observation.getRowOrEmpty (an Option) — the public
+    python `get` blocks forever, which is exactly what a shared poller must
+    not do. Falls back to "not ready" if the private handle is missing."""
+    try:
+        return not obs._jo.getRowOrEmpty().isEmpty()
+    except Exception:
+        return False
+
+
+def _deliver(entry) -> None:
+    import warnings
+
+    obs, message = entry
+    try:
+        n = obs.get["n_hot_rows"]  # non-blocking once _obs_ready
+    except Exception:
+        return
+    if n:
+        warnings.warn(message.format(n=n))
+
+
+def _drain_ready() -> None:
+    """Deliver every ready pending observation (caller's thread)."""
+    with _OBS_LOCK:
+        ready = [e for e in _PENDING_OBS if _obs_ready(e[0])]
+        for e in ready:
+            _PENDING_OBS.remove(e)
+    for e in ready:
+        _deliver(e)
+
+
+def _ensure_poller() -> None:
+    import threading
+
+    global _OBS_LOCK
+    if _OBS_LOCK is None:
+        _OBS_LOCK = threading.Lock()
+    t = _POLLER["thread"]
+    if t is not None and t.is_alive():
+        return
+
+    def _poll():
+        import time as _time
+
+        while True:
+            _time.sleep(0.25)
+            try:
+                _drain_ready()
+            except Exception:
+                pass
+
+    t = threading.Thread(target=_poll, daemon=True, name="hotwarn-poller")
+    _POLLER["thread"] = t
+    t.start()
 
 
 def _observe_hot_rows(df: DataFrame, flag_col, label: str, message: str) -> DataFrame:
     """Count rows matching `flag_col` as an Observation riding the caller's
     OWN first action — plan builders stay lazy (r3 advice: the previous eager
     `count()` turned DataFrame construction into an action and ran the
-    banding window twice). A daemon waiter thread emits the warning (with the
-    row count substituted for `{n}`) once the job's metrics arrive; if the
-    DataFrame is never evaluated, the thread parks harmlessly.
-    Tests drain deterministically via `flush_hot_warnings()`."""
-    import threading
+    banding window twice). Delivery is asynchronous via ONE shared daemon
+    poller (never a thread per call); a DataFrame that is never evaluated
+    just leaves one idle list entry. Tests drain deterministically via
+    `flush_hot_warnings()`."""
     import uuid
-    import warnings
 
     try:
         from pyspark.sql import Observation
@@ -41,53 +103,44 @@ def _observe_hot_rows(df: DataFrame, flag_col, label: str, message: str) -> Data
         return df
     obs = Observation(f"{label}_{uuid.uuid4().hex[:8]}")
     df = df.observe(obs, F.sum(flag_col.cast("long")).alias("n_hot_rows"))
-
-    def _wait():
-        try:
-            n = obs.get["n_hot_rows"]
-        except Exception:
-            return
-        if n:
-            warnings.warn(message.format(n=n))
-
-    t = threading.Thread(target=_wait, daemon=True, name=f"hotwarn-{label}")
-    t.start()
-    # drop finished entries and cap tracking of parked ones (never-evaluated
-    # plans park their waiter forever — see _MAX_TRACKED_WAITERS)
-    _HOT_WARN_THREADS[:] = [x for x in _HOT_WARN_THREADS if x.is_alive()][-_MAX_TRACKED_WAITERS:]
-    _HOT_WARN_THREADS.append(t)
+    _ensure_poller()
+    with _OBS_LOCK:
+        _PENDING_OBS.append((obs, message))
+        # bound bookkeeping: plan-only entries accumulate forever otherwise;
+        # beyond the cap the oldest never-evaluated entries stop being polled
+        del _PENDING_OBS[:-_MAX_TRACKED_WAITERS]
     return df
 
 
-# bookkeeping cap: a waiter whose DataFrame is never evaluated parks forever
-# in Observation.get (no cancel API); beyond this many we stop TRACKING the
-# oldest parked daemons (they cost one idle thread each until session end)
+# bookkeeping cap for never-evaluated observations (see _observe_hot_rows)
 _MAX_TRACKED_WAITERS = 64
 
 
 def flush_hot_warnings(timeout: float = 10.0) -> None:
-    """Join finished hot-warning waiter threads so callers that just ran an
-    action observe the warning deterministically. `timeout` is a TOTAL
-    deadline shared across all parked threads, not per-thread (r4 review:
-    N never-evaluated plans previously stalled N x timeout)."""
+    """Deliver pending hot-row warnings in the CALLING thread so callers that
+    just ran an action observe the warning deterministically. Polls up to
+    `timeout` seconds TOTAL for observations that are mid-materialization;
+    never blocks on plans that were never evaluated."""
     import time
 
+    if _OBS_LOCK is None:  # nothing ever observed
+        return
     deadline = time.monotonic() + timeout
-    pending = []
-    while _HOT_WARN_THREADS:
-        t = _HOT_WARN_THREADS.pop()
-        t.join(max(0.0, min(0.2, deadline - time.monotonic())))
-        if t.is_alive():
-            if time.monotonic() < deadline:
-                pending.append(t)  # retry within the deadline
-            # else: drop from tracking (stays parked as a daemon)
-    # one more sweep for threads that were mid-wakeup
-    still = []
-    for t in pending:
-        t.join(max(0.0, deadline - time.monotonic()))
-        if t.is_alive():
-            still.append(t)
-    _HOT_WARN_THREADS.extend(still[-_MAX_TRACKED_WAITERS:])
+    while True:
+        _drain_ready()
+        with _OBS_LOCK:
+            if not _PENDING_OBS:
+                return
+            # entries left: either plan-only (never ready - don't wait on
+            # them past one sweep) or racing a just-finished action
+            any_ready_soon = any(_obs_ready(e[0]) for e in _PENDING_OBS)
+        if not any_ready_soon and time.monotonic() > deadline - timeout + 0.5:
+            # one 0.5 s grace pass for a job that completed between the
+            # caller's action returning and the metrics row landing
+            return
+        if time.monotonic() >= deadline:
+            return
+        time.sleep(0.05)
 
 
 # --- exact -----------------------------------------------------------------
@@ -330,7 +383,20 @@ def minhash_dedup(
     counts intersections of hashed shingles; a cross-doc 64-bit collision
     would inflate n_inter with probability ~(n_a*n_b)/2^64 per pair —
     vanishing, and the md5-string family remains the engine-portable exact
-    twin."""
+    twin.
+
+    RECALL PROFILE (r4 advice): the two families draw DIFFERENT minhash
+    permutations, so their band keys — and hence their LSH candidate sets —
+    are different random draws with the same expected recall curve
+    (P[candidate] = 1-(1-s^r)^b). Identical docs collide in every band under
+    both families; a BORDERLINE near-dup pair sitting near the banding
+    threshold can be caught by one family and missed by the other (in either
+    direction), and the exact-Jaccard verification step can only reject
+    candidates, never recover banding misses. Family choice therefore changes
+    which borderline pairs surface, not the quality guarantee —
+    tests/test_training_ops.py::test_minhash_family_recall_profile_near_dups
+    pins both families' behavior against the exact all-pairs oracle on a
+    near-dup (not identical-dup) corpus."""
     sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     if family == "xxhash64":
         sh = sh.withColumn("shingle", F.xxhash64("shingle"))

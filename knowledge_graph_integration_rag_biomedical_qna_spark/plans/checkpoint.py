@@ -62,6 +62,32 @@ def _done_buckets(out_dir: str) -> set[int]:
     return done
 
 
+def _migrate_legacy_lineage(out_dir: str) -> None:
+    """One-time upgrade guard (r4 advice): lineage was a plain append through
+    r3 (root-level part-files), and is commit_group-partitioned since r4.
+    Resuming a pre-upgrade out_dir would mix root part-files with
+    commit_group= subdirectories in one path, which breaks Spark partition
+    discovery for every future lineage read. Move any root-level data files
+    under commit_group=legacy/ before the first new-format write; their rows
+    keep reading alongside new ones (the partition column reads 'legacy').
+    Idempotent; no-op on fresh or already-migrated dirs."""
+    lineage = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(lineage):
+        return
+    stray = [
+        f
+        for f in os.listdir(lineage)
+        if os.path.isfile(os.path.join(lineage, f)) and not f.startswith(("_", "."))
+    ]
+    if not stray:
+        return
+    legacy = os.path.join(lineage, "commit_group=legacy")
+    os.makedirs(legacy, exist_ok=True)
+    for f in stray:
+        os.replace(os.path.join(lineage, f), os.path.join(legacy, f))
+    # root _SUCCESS markers are metadata, harmless to partition discovery
+
+
 class ResumableKGRun:
     """Checkpointed KG materialization over a transcripts table."""
 
@@ -88,6 +114,7 @@ class ResumableKGRun:
         Returns summary metrics. Call `finalize()` after all groups are done.
         """
         os.makedirs(os.path.join(self.out_dir, "_done"), exist_ok=True)
+        _migrate_legacy_lineage(self.out_dir)
         done = _done_buckets(self.out_dir)
         keys_bc = broadcast_alias_keys(self.spark, aliases)
         aliases = aliases.cache()

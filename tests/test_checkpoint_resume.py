@@ -78,3 +78,45 @@ def test_lineage_metrics(spark, inputs, tmp_path):
     # triple-count conservation: lineage edge counts == materialized edges
     edges = spark.read.parquet(f"{out}/kg_edges")
     assert int(lineage["edges"].sum()) == edges.count()
+
+
+def test_legacy_root_lineage_migrates_cleanly(spark, inputs, tmp_path):
+    """r4 advice: lineage was a plain append (root part-files) through r3 and
+    is commit_group-partitioned since r4 — resuming a pre-upgrade out_dir
+    mixed both layouts in one path and broke partition discovery. The run()
+    entry must move root-level files under commit_group=legacy so old rows
+    keep reading alongside new ones."""
+    import os
+
+    transcripts, aliases = inputs
+    out = str(tmp_path / "legacy_dir")
+    lineage = os.path.join(out, "lineage")
+    os.makedirs(lineage, exist_ok=True)
+    # simulate a pre-upgrade append: one root-level parquet data file with
+    # the lineage row schema minus the partition column
+    legacy_rows = pd.DataFrame(
+        {
+            "bucket": pd.array([0], dtype="int32"),
+            "turns_in": pd.array([7], dtype="int64"),
+            "mentions": pd.array([3], dtype="int64"),
+            "raw_triples": pd.array([1], dtype="int64"),
+            "edges": pd.array([1], dtype="int64"),
+            "wall_sec": [0.5],
+            "committed_at": pd.array(
+                [pd.Timestamp("2026-01-01")], dtype="datetime64[us]"
+            ),
+        }
+    )
+    legacy_rows.to_parquet(os.path.join(lineage, "part-00000-legacy.parquet"))
+
+    run = ResumableKGRun(spark, out, buckets=4, group_size=2)
+    s = run.run(transcripts, aliases)
+    assert s["complete"]
+    # partition discovery must succeed and see BOTH generations
+    got = spark.read.parquet(lineage)
+    groups = {r["commit_group"] for r in got.select("commit_group").distinct().collect()}
+    assert "legacy" in groups and len(groups) >= 2, groups
+    assert got.filter("commit_group = 'legacy'").count() == 1
+    # idempotent: a second run() must not disturb the migrated layout
+    run.run(transcripts, aliases)
+    assert spark.read.parquet(lineage).filter("commit_group = 'legacy'").count() == 1

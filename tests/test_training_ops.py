@@ -828,3 +828,118 @@ def test_matmul_query_collect_guard_routes_to_fold(spark, monkeypatch):
     assert not any("falling back" in str(c.message) for c in caught)
     m = mm.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(f["vec_id"]) == list(m["vec_id"])
+
+
+def test_hot_warn_shared_poller_no_thread_leak(spark):
+    """r4 advice: plan-only callers used to park one waiter thread each for
+    the session lifetime (Observation.get has no cancel). The shared-poller
+    shape must keep the thread census flat: N never-evaluated observed plans
+    add list entries, not threads."""
+    import threading
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators import dedup
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        flush_hot_warnings,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(with_shingles(docs), num_hashes=16)
+    before = threading.active_count()
+    plans = [
+        lsh_candidate_pairs(sigs, num_hashes=16, bands=4, max_bucket=2)
+        for _ in range(12)  # plan-only: never evaluated
+    ]
+    after = threading.active_count()
+    # at most the single shared poller thread appears; never one per plan
+    assert after - before <= 1, (before, after)
+    hot_threads = [t for t in threading.enumerate() if t.name.startswith("hotwarn")]
+    assert len(hot_threads) <= 1, [t.name for t in hot_threads]
+    # plan-only entries must not stall the deterministic drain
+    import time
+
+    t0 = time.time()
+    flush_hot_warnings(timeout=5.0)
+    assert time.time() - t0 < 3.0
+    assert plans  # keep references alive through the census
+
+
+def test_minhash_family_recall_profile_near_dups(spark):
+    """r4 advice: the xxhash64 family draws different minhash permutations
+    than the md5 family, so the two LSH candidate sets are different random
+    draws with the same expected recall curve — identical-doc pairs are
+    caught by both, but a BORDERLINE near-dup pair can be caught by one and
+    missed by the other, and exact verification can only reject candidates,
+    never recover banding misses. Pin that profile on a near-dup (not
+    identical-dup) corpus: both families have precision 1.0 vs the exact
+    all-pairs oracle, recall >= 0.75, and every family-disagreement pair is
+    borderline (exact Jaccard close to the banding threshold). bands=8
+    (r=2, banding s* ~ 0.35) so the expected recall at the 0.5 verification
+    threshold is high and misses measure family-draw variance, not the
+    banding design point."""
+    import itertools
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    base_docs = {}
+    for b in range(16):
+        words = list(rng.choice(vocab, size=20, replace=True))
+        base_docs[f"b{b}"] = words
+    rows = []
+    doc_words = {}
+    i = 0
+    for name, words in base_docs.items():
+        for variant in range(2):  # base + one perturbed near-dup
+            w = list(words)
+            if variant:
+                # perturb 1-3 words: spans exact 3-gram Jaccard ~0.33-0.85,
+                # i.e. both sides of the 16-hash/4-band threshold region
+                for pos in rng.choice(20, size=1 + (i % 3), replace=False):
+                    w[pos] = str(rng.choice(vocab))
+            doc_words[i] = w
+            rows.append((i, " ".join(w)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+    def shingle_set(words, n=3):
+        if len(words) < n:
+            return {" ".join(words)}
+        return {" ".join(words[j:j + n]) for j in range(len(words) - n + 1)}
+
+    threshold = 0.5
+    exact = {}
+    for a, b in itertools.combinations(sorted(doc_words), 2):
+        sa, sb = shingle_set(doc_words[a]), shingle_set(doc_words[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j > 0:
+            exact[(a, b)] = j
+    truth = {p for p, j in exact.items() if j >= threshold}
+    assert len(truth) >= 8, "corpus must actually contain near-dup pairs"
+    # the corpus must contain BORDERLINE pairs, or the test proves nothing
+    assert any(threshold <= j < 0.75 for j in exact.values())
+
+    got = {}
+    for family in ("md5", "xxhash64"):
+        pdf = minhash_dedup(docs, threshold=threshold, family=family, bands=8).toPandas()
+        pairs = {
+            (min(a, b), max(a, b))
+            for a, b in zip(pdf["id_a"].astype(int), pdf["id_b"].astype(int))
+        }
+        got[family] = pairs
+        assert pairs <= truth, f"{family}: verification must kill false positives"
+        recall = len(pairs & truth) / len(truth)
+        assert recall >= 0.75, f"{family}: recall {recall:.2f} on near-dup corpus"
+
+    # disagreements allowed, but only in the borderline band near the LSH
+    # threshold — a CLEAR duplicate missed by one family would be a bug
+    for p in got["md5"] ^ got["xxhash64"]:
+        assert exact[p] < 0.85, (p, exact[p])
