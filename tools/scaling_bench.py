@@ -147,13 +147,37 @@ def main():
     pairs = [json.loads(ln) for ln in open(pairs_path) if ln.strip()]
     same = [p for p in pairs if p["n_lo"] == n_lo and p["n_hi"] == n_hi
             and p["replicate"] == replicate and p["turns"] == rec["turns"]]
-    effs = sorted(p["efficiency"] for p in same)
-    median = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
-    rows = "\n".join(
-        f"| {p['sec_lo']} | {p['sec_hi']} | {p['tps_hi']:,} | {p['efficiency']} | {p['cpu_probe_s']} |"
-        for p in same
+
+    def _median(ps):
+        effs = sorted(p["efficiency"] for p in ps)
+        return effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+
+    def _table(ps):
+        return "\n".join(
+            f"| {p['sec_lo']} | {p['sec_hi']} | {p['tps_hi']:,} | {p['efficiency']} | {p['cpu_probe_s']} |"
+            for p in ps
+        )
+
+    median = _median(same)
+    rows = _table(same)
+    # every OTHER config ever recorded renders too — the full pair history
+    # stays auditable from this one file (grouped, each with its median)
+    other_cfgs = sorted(
+        {(p["n_lo"], p["n_hi"], p["replicate"], p["turns"]) for p in pairs}
+        - {(n_lo, n_hi, replicate, rec["turns"])}
     )
+    other_sections = []
+    for cfg in other_cfgs:
+        ps = [p for p in pairs if (p["n_lo"], p["n_hi"], p["replicate"], p["turns"]) == cfg]
+        other_sections.append(
+            f"\n### Config local[{cfg[0]}] vs local[{cfg[1]}], x{cfg[2]} "
+            f"({cfg[3]:,} turns) — median {_median(ps)} over {len(ps)} pair(s)\n\n"
+            "| T_N sec | T_4N sec | turns/sec @4N | efficiency | cpu_probe |\n"
+            "|---|---|---|---|---|\n" + _table(ps)
+        )
+    other_md = ("\n## All other recorded configs\n" + "\n".join(other_sections) + "\n"
+                ) if other_sections else ""
 
     md = f"""# BENCH/BASELINE.md — measured engine numbers
 
@@ -177,14 +201,21 @@ cpu_probe = single-core busy-loop seconds, quiet host ~0.75-0.95):
 (efficiency = (T_N / T_4N) / {n_hi // n_lo}; outputs identical at both
 levels every pair: {r8["edges"]:,} edges, {r8["nodes"]} nodes.)
 
-Input-size note: the fixed per-run floor (driver scheduling, vocab stages,
-~5s) is measurement overhead that vanishes at the 10^12-turn design scale;
-small inputs understate efficiency for that reason (80x pairs measured
-~0.7, 320x pairs ~1.0 — the same plan). Occasional >1.0 pairs are the
-N=1 run paying cache-spill/GC costs single-threaded that 4 cores absorb;
-occasional <0.8 pairs coincide with external host-load spikes on one leg
-(see cpu_probe and BENCH/scaling_pairs.jsonl for every recorded pair).
-
+Input-size note: the fixed per-run floor (driver-side plan analysis,
+scheduling, vocab-sized stages) is measurement overhead that vanishes at
+the 10^12-turn design scale; small inputs understate efficiency for that
+reason, and the effect GROWS as the per-turn kernel gets faster (less data
+work for the same overhead). Measured directly on the r5 code: x320 (8M
+turns) pairs 0.688-0.828, the x640 (16M turns) pair 0.989 — same plan,
+same host class; solving T_N = W+O, T_4N = W/4+O on the x320 pairs gives a
+~16 s non-scaling component that the x640 input amortizes away. Hardware
+calibration shows no wall at this width (4 concurrent no-Spark busy loops:
+~1.0x per-worker CPU efficiency; 4 concurrent 200 MB numpy stream copies:
+0.85x per-worker bandwidth). Occasional >1.0 pairs are the N=1 run paying
+cache-spill/GC costs single-threaded that 4 cores absorb; occasional <0.8
+pairs coincide with external host-load spikes on one leg (see cpu_probe
+and BENCH/scaling_pairs.jsonl for every recorded pair).
+{other_md}
 ## Why this scales
 
 - The plan's only data-sized shuffle is the stage-[1] window repartition by
