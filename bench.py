@@ -163,7 +163,11 @@ def main() -> None:
     # shuffles (plan-tested in tests/test_bucketing.py)
     from knowledge_graph_integration_rag_biomedical_qna_spark.sources.io import write_bucketed
 
-    write_bucketed(big_tr, "bench_transcripts_bucketed", "conv_id", cpus)
+    # 2x buckets-per-core: bucketed files are unsplittable (one task per
+    # bucket), so exactly cores buckets turns any size skew into stragglers;
+    # 2x gives the scheduler room to smooth them — and at 100 TB the bucket
+    # count is >> cores by orders of magnitude anyway
+    write_bucketed(big_tr, "bench_transcripts_bucketed", "conv_id", 2 * cpus)
     bt = spark.table("bench_transcripts_bucketed")
     kgb = build_kg(
         spark, bt, aliases, persist=False, assume_clustered=True,
