@@ -52,14 +52,19 @@ def _deliver(entry) -> None:
         warnings.warn(message.format(n=n))
 
 
-def _drain_ready() -> None:
-    """Deliver every ready pending observation (caller's thread)."""
+def _drain_ready() -> int:
+    """Deliver every ready pending observation; returns the number
+    delivered. Removal AND delivery happen under the lock: flush observes
+    "pending empty" only after every warning has actually been emitted —
+    delivering outside the lock let the poller thread remove an entry,
+    flush return, the caller's catch_warnings exit, and THEN the warn fire
+    into the void (measured 3-in-8 flake)."""
     with _OBS_LOCK:
         ready = [e for e in _PENDING_OBS if _obs_ready(e[0])]
         for e in ready:
             _PENDING_OBS.remove(e)
-    for e in ready:
-        _deliver(e)
+            _deliver(e)
+    return len(ready)
 
 
 def _ensure_poller() -> None:
@@ -126,19 +131,22 @@ def flush_hot_warnings(timeout: float = 10.0) -> None:
     if _OBS_LOCK is None:  # nothing ever observed
         return
     deadline = time.monotonic() + timeout
+    # grace window: a job that just finished its action can take a moment
+    # (seconds, under a loaded suite) to land its metrics row, so keep
+    # polling up to GRACE seconds past the last delivery before concluding
+    # the remaining entries are plan-only (never-evaluated) and returning.
+    # Any delivery resets the window. Bounded by `timeout` overall, so
+    # plan-only backlogs cost at most GRACE, not N x timeout (r4 review).
+    GRACE = 2.5
+    last_progress = time.monotonic()
     while True:
-        _drain_ready()
+        if _drain_ready():
+            last_progress = time.monotonic()
         with _OBS_LOCK:
             if not _PENDING_OBS:
                 return
-            # entries left: either plan-only (never ready - don't wait on
-            # them past one sweep) or racing a just-finished action
-            any_ready_soon = any(_obs_ready(e[0]) for e in _PENDING_OBS)
-        if not any_ready_soon and time.monotonic() > deadline - timeout + 0.5:
-            # one 0.5 s grace pass for a job that completed between the
-            # caller's action returning and the metrics row landing
-            return
-        if time.monotonic() >= deadline:
+        now = time.monotonic()
+        if now >= deadline or now - last_progress > GRACE:
             return
         time.sleep(0.05)
 
@@ -282,28 +290,51 @@ def inverted_index_candidates(
     all its common shingles in the hot set, which boilerplate-heavy corpora
     should handle with exact-dedup first (same design note as the LSH
     hot-bucket cap)."""
-    sh = shingles
-    if max_shingle_df is not None:
-        from pyspark.sql import Window
-
-        df_ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        sh = sh.withColumn("_df", df_)
-        sh = _observe_hot_rows(
-            sh, F.col("_df") > max_shingle_df, "invidx_hot",
-            "inverted_index_candidates: {n} posting row(s) of shingles over "
-            f"max_shingle_df={max_shingle_df} dropped from candidate "
-            "generation (verification still uses full shingle sets)",
+    if max_shingle_df is None:
+        # uncapped: plain posting-list self-join on the 8-byte shingle hash
+        # (a 64-bit collision can only ADD a candidate pair, which exact
+        # Jaccard verification then rejects)
+        a = shingles.select(F.col("id").alias("id_a"), F.xxhash64("shingle").alias("sh_k"))
+        b = shingles.select(F.col("id").alias("id_b"), F.xxhash64("shingle").alias("sh_k"))
+        return (
+            a.join(b, "sh_k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        sh = sh.filter(F.col("_df") <= max_shingle_df).drop("_df")
-    # self-join on the 8-byte shingle hash, not the string (the df-cap window
-    # above still keys on the exact string); a 64-bit collision can only ADD
-    # a candidate pair, which exact Jaccard verification then rejects
-    a = sh.select(F.col("id").alias("id_a"), F.xxhash64("shingle").alias("sh_k"))
-    b = sh.select(F.col("id").alias("id_b"), F.xxhash64("shingle").alias("sh_k"))
+    # capped: group the posting list ONCE by exact shingle (one shuffle —
+    # the previous shape shuffled the posting table twice: a df-cap window
+    # plus a hash self-join) and emit each group's id pairs map-side from
+    # the sorted, size-capped array. Also the correctness fix for the
+    # hot-drop warning: an Observation riding a subtree that a self-join
+    # duplicates is delivered as an EMPTY metrics row whenever the planner
+    # reuses the exchange (measured, nondeterministic) — the grouped table
+    # appears exactly once, so its metrics always arrive.
+    posts = shingles.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids"),
+        F.count(F.lit(1)).alias("_df"),
+    )
+    posts = _observe_hot_rows(
+        posts, F.col("_df") > max_shingle_df, "invidx_hot",
+        "inverted_index_candidates: {n} shingle(s) over "
+        f"max_shingle_df={max_shingle_df} dropped from candidate "
+        "generation (verification still uses full shingle sets)",
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "sh_k")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        posts.filter(F.col("_df") <= max_shingle_df)
+        .select(pair.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -865,7 +865,10 @@ def test_hot_warn_shared_poller_no_thread_leak(spark):
 
     t0 = time.time()
     flush_hot_warnings(timeout=5.0)
-    assert time.time() - t0 < 3.0
+    # the r4-review property: a backlog of N never-evaluated plans costs at
+    # most ONE timeout (the grace window, extended by stray deliveries from
+    # other tests, is capped by the deadline) — never N x timeout
+    assert time.time() - t0 < 6.0
     assert plans  # keep references alive through the census
 
 
