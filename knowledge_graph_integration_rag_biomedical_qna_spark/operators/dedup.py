@@ -15,6 +15,8 @@ near-dup. Design notes for 100 TB:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,7 +28,9 @@ from pyspark.sql import functions as F
 # cancel — so plan builders leaked threads for the session lifetime)
 _PENDING_OBS: list = []
 _POLLER: dict = {"thread": None}
-_OBS_LOCK = None  # created lazily (threading import stays function-local)
+# created at import, not lazily: two plan-builder threads racing the first
+# observation must not each install their own lock (r5 self-review)
+_OBS_LOCK = threading.Lock()
 
 
 def _obs_ready(obs) -> bool:
@@ -68,11 +72,6 @@ def _drain_ready() -> int:
 
 
 def _ensure_poller() -> None:
-    import threading
-
-    global _OBS_LOCK
-    if _OBS_LOCK is None:
-        _OBS_LOCK = threading.Lock()
     t = _POLLER["thread"]
     if t is not None and t.is_alive():
         return
@@ -128,8 +127,6 @@ def flush_hot_warnings(timeout: float = 10.0) -> None:
     never blocks on plans that were never evaluated."""
     import time
 
-    if _OBS_LOCK is None:  # nothing ever observed
-        return
     deadline = time.monotonic() + timeout
     # grace window: a job that just finished its action can take a moment
     # (seconds, under a loaded suite) to land its metrics row, so keep
@@ -302,23 +299,35 @@ def inverted_index_candidates(
             .select("id_a", "id_b")
             .distinct()
         )
-    # capped: group the posting list ONCE by exact shingle (one shuffle —
-    # the previous shape shuffled the posting table twice: a df-cap window
-    # plus a hash self-join) and emit each group's id pairs map-side from
-    # the sorted, size-capped array. Also the correctness fix for the
-    # hot-drop warning: an Observation riding a subtree that a self-join
-    # duplicates is delivered as an EMPTY metrics row whenever the planner
-    # reuses the exchange (measured, nondeterministic) — the grouped table
-    # appears exactly once, so its metrics always arrive.
-    posts = shingles.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("id")).alias("ids"),
-        F.count(F.lit(1)).alias("_df"),
+    # capped: ONE shuffle total (the previous shape shuffled the posting
+    # table twice: a df-cap window plus a hash self-join). The df count runs
+    # as a window over the shingle partitioning (sort-based, SPILLABLE — a
+    # degenerate 100M-doc shingle streams through it; a collect_list-with-
+    # count aggregate would have to materialize that group's full id array
+    # just to discover it is over the cap); hot postings are filtered, and
+    # only the KEPT groups — each ≤ max_shingle_df ids by construction —
+    # are collected into sorted arrays for map-side pair emission. The
+    # groupBy reuses the window's hashpartitioning(shingle), so no second
+    # exchange. This is also the correctness fix for the hot-drop warning:
+    # an Observation riding a subtree that a self-join duplicates is
+    # delivered as an EMPTY metrics row whenever the planner reuses the
+    # exchange (measured, nondeterministic) — this plan consumes the
+    # observed table exactly once, so its metrics always arrive.
+    from pyspark.sql import Window
+
+    sh = shingles.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    posts = _observe_hot_rows(
-        posts, F.col("_df") > max_shingle_df, "invidx_hot",
-        "inverted_index_candidates: {n} shingle(s) over "
+    sh = _observe_hot_rows(
+        sh, F.col("_df") > max_shingle_df, "invidx_hot",
+        "inverted_index_candidates: {n} posting row(s) of shingles over "
         f"max_shingle_df={max_shingle_df} dropped from candidate "
         "generation (verification still uses full shingle sets)",
+    )
+    posts = (
+        sh.filter(F.col("_df") <= max_shingle_df)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
     pair = F.explode(
         F.flatten(
@@ -332,8 +341,7 @@ def inverted_index_candidates(
         )
     )
     return (
-        posts.filter(F.col("_df") <= max_shingle_df)
-        .select(pair.alias("p"))
+        posts.select(pair.alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

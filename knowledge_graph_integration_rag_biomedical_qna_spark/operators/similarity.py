@@ -177,15 +177,17 @@ def cosine_topk(
     if kernel == "auto":
         first = q.select(F.size("qv").alias("d")).first()
         kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
+    oversized_queries = False
     if kernel == "matmul":
         # query side is broadcast-sized by contract (it rides a broadcast
         # join in the fold path); collecting it to the closure is the same
         # data movement without the crossJoin row blow-up. Guarded: above
         # MATMUL_MAX_QUERY_ROWS the collect is refused and the fold kernel
-        # (broadcast join, no driver materialization) takes over.
+        # takes over.
         q_rows = _guarded_collect(q.select("query_id", "qv"), "query table")
         if q_rows is None:
             kernel = "fold"
+            oversized_queries = True
         elif not q_rows:  # empty batch: zero rows, not a numpy AxisError
             spark = embeddings.sparkSession
             return spark.createDataFrame(
@@ -196,8 +198,17 @@ def cosine_topk(
     if kernel != "matmul":
         base = base.withColumn("nrm", _norm(F.col("v")))
         qn = q.withColumn("qnrm", _norm(F.col("qv")))
+        # the broadcast hint is FORCED regardless of size, and Spark builds
+        # broadcast tables on the driver — hinting an over-cap query table
+        # would reintroduce the very driver materialization the guard
+        # refused. Oversized query batches take an unhinted join: this
+        # scoring join is non-equi (vec_id != query_id), so the planner
+        # falls to an executor-side CartesianProduct — slow, but that IS the
+        # honest cost of exact all-pairs scoring at that size, and it never
+        # routes through the driver.
+        qn_j = qn if oversized_queries else F.broadcast(qn)
         scored = (
-            base.join(F.broadcast(qn), F.col("vec_id") != F.col("query_id"))
+            base.join(qn_j, F.col("vec_id") != F.col("query_id"))
             .withColumn(
                 # try_divide: a zero-norm vector has undefined cosine — NULL
                 # here (ANSI double/0 THROWS, so a bare `/` would fail the
@@ -417,6 +428,7 @@ def ivf_topk(
     if kernel == "auto":
         first = q.select(F.size("qv").alias("d")).first()
         kernel = "matmul" if first is not None and first["d"] >= MATMUL_MIN_DIM else "fold"
+    oversized_probes = False
     if kernel == "matmul":
         # guarded like cosine_topk: probe rows = queries x nprobe, still
         # broadcast-sized by contract; overflow routes to the fold kernel
@@ -425,6 +437,7 @@ def ivf_topk(
         )
         if probe_rows is None:
             kernel = "fold"
+            oversized_probes = True
         elif not probe_rows:  # empty query batch: zero rows
             spark = assignments.sparkSession
             return spark.createDataFrame(
@@ -433,8 +446,11 @@ def ivf_topk(
         else:
             scored = _ivf_matmul_topk_rows(assignments, probe_rows, k)
     if kernel != "matmul":
+        # equi join on centroid_id: an over-cap probe table drops the forced
+        # broadcast hint (driver-built) and lets AQE pick a shuffle join
+        probes_j = probes if oversized_probes else F.broadcast(probes)
         scored = (
-            assignments.join(F.broadcast(probes), "centroid_id")
+            assignments.join(probes_j, "centroid_id")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn(
                 # try_divide: undefined (zero-norm) cosines -> NULL, excluded
