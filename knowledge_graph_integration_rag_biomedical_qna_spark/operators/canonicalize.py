@@ -59,8 +59,8 @@ def canonicalize_node_stats(mention_stats: DataFrame, resolution: DataFrame) -> 
         ["alias_key", "surface"],
     )
     return joined.groupBy("cui").agg(
-        F.array_sort(F.collect_set("surface")).alias("surfaces"),
-        F.sum("n_mentions").alias("mention_count"),
+        F.expr("array_sort(collect_set(surface)) AS surfaces"),
+        F.expr("sum(n_mentions) AS mention_count"),
     )
 
 
@@ -73,12 +73,12 @@ def aggregate_edges(resolved_triples: DataFrame, exact_distinct: bool = True) ->
     n_convs is an exact distinct by default so the table is oracle-checkable;
     pass exact_distinct=False for the HLL sketch when a hot edge's distinct
     conversation set itself is too large to shuffle (the 10^12-turn setting)."""
-    n_convs = (
-        F.countDistinct("conv_id") if exact_distinct
-        else F.approx_count_distinct("conv_id")
+    n_convs_sql = (
+        "count(DISTINCT conv_id)" if exact_distinct
+        else "approx_count_distinct(conv_id)"
     )
     return resolved_triples.groupBy("subj_cui", "pred", "obj_cui").agg(
-        F.count(F.lit(1)).alias("n_evidence"),
-        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
-        n_convs.alias("n_convs"),
+        F.expr("count(1) AS n_evidence"),
+        F.expr("round(avg(confidence), 6) AS avg_confidence"),
+        F.expr(f"{n_convs_sql} AS n_convs"),
     )

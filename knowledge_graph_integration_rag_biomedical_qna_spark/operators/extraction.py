@@ -106,7 +106,10 @@ UNIFIED_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("turn_idx", T.IntegerType(), False),
         T.StructField("sent_idx", T.IntegerType(), False),
-        T.StructField("kind", T.StringType(), False),  # 'm' mention | 't' triple
+        # 'm' mention | 't' triple | 's' collapsed per-task mention stats
+        # ('s' rows exist only in extract_collapsed_df output: the partial
+        # count rides in mention_idx; see mention_stats_view)
+        T.StructField("kind", T.StringType(), False),
         T.StructField("mention_idx", T.IntegerType(), True),
         T.StructField("surface", T.StringType(), True),
         T.StructField("alias_key", T.StringType(), True),
@@ -222,7 +225,13 @@ def extract_collapsed_df(turns: DataFrame, alias_keys_bc) -> DataFrame:
                 names=_UNIFIED_COLS,
             )
 
-    return turns.select("conv_id", "turn_idx", "text").mapInArrow(fn, UNIFIED_SCHEMA)
+    # plan-level marker: mentions_view raises on a collapsed input instead of
+    # silently returning zero rows (there are no 'm' rows to project)
+    return (
+        turns.select("conv_id", "turn_idx", "text")
+        .mapInArrow(fn, UNIFIED_SCHEMA)
+        .withMetadata("kind", {"collapsed": True})
+    )
 
 
 def mention_stats_view(unified_collapsed: DataFrame) -> DataFrame:
@@ -232,9 +241,9 @@ def mention_stats_view(unified_collapsed: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        unified_collapsed.filter(F.col("kind") == "s")
+        unified_collapsed.filter("kind = 's'")
         .groupBy("alias_key", "surface")
-        .agg(F.sum("mention_idx").cast("long").alias("n_mentions"))
+        .agg(F.expr("CAST(sum(mention_idx) AS BIGINT) AS n_mentions"))
     )
 
 
@@ -294,24 +303,33 @@ def row_path_unified_pdf(pdf: pd.DataFrame, keys) -> pd.DataFrame:
 
 
 def mentions_view(unified: DataFrame) -> DataFrame:
-    """Project the mention rows of the unified extraction (MENTIONS_SCHEMA)."""
-    from pyspark.sql import functions as F
+    """Project the mention rows of the unified extraction (MENTIONS_SCHEMA).
 
-    return unified.filter(F.col("kind") == "m").select(
+    Raises on extract_collapsed_df output (detected via the plan-level
+    column marker): a collapsed table has no per-occurrence 'm' rows, so the
+    old behavior was a silent zero-row result (r5 advice)."""
+    if unified.schema["kind"].metadata.get("collapsed"):
+        raise ValueError(
+            "mentions_view over a COLLAPSED extraction (kind='s' stat rows "
+            "only): per-occurrence mention rows were aggregated away "
+            "task-side. Use extract_all_df for token spans, or "
+            "mention_stats_view for the counts."
+        )
+    return unified.filter("kind = 'm'").selectExpr(
         "conv_id", "turn_idx", "sent_idx",
-        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "CAST(mention_idx AS INT) AS mention_idx",
         "surface", "alias_key",
-        F.col("tok_start").cast("int").alias("tok_start"),
-        F.col("tok_end").cast("int").alias("tok_end"),
+        "CAST(tok_start AS INT) AS tok_start",
+        "CAST(tok_end AS INT) AS tok_end",
     )
 
 
 def triples_view(unified: DataFrame) -> DataFrame:
-    """Project the triple rows of the unified extraction (RAW_TRIPLES_SCHEMA)."""
-    from pyspark.sql import functions as F
-
-    return unified.filter(F.col("kind") == "t").select(
+    """Project the triple rows of the unified extraction (RAW_TRIPLES_SCHEMA).
+    Valid on both full and collapsed extractions ('t' rows pass through the
+    collapse untouched)."""
+    return unified.filter("kind = 't'").selectExpr(
         "conv_id", "turn_idx", "sent_idx",
         "subj_surface", "subj_key", "pred", "obj_surface", "obj_key",
-        F.col("confidence").cast("double").alias("confidence"),
+        "CAST(confidence AS DOUBLE) AS confidence",
     )

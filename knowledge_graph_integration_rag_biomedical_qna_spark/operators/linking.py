@@ -21,7 +21,7 @@ over the transcript-sized tables.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,21 +68,19 @@ def candidate_table(
     cands = surfaces.join(aliases, "alias_key", "inner").withColumn(
         "score", _link_score_udf(F.col("surface"), F.col("alias"), F.col("prior"))
     )
-    w = Window.partitionBy("alias_key", "surface").orderBy(
-        F.col("score").desc(), F.col("prior").desc(), F.col("cui").asc()
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K_CANDIDATES)
-        .select("alias_key", "surface", "cui", "prior", "score", "rank")
-    )
+    # SQL-string window (r6 plan-construction diet): one parse round trip;
+    # DESC/ASC defaults (NULLS LAST / NULLS FIRST) match .desc()/.asc()
+    return cands.selectExpr(
+        "alias_key", "surface", "cui", "prior", "score",
+        "row_number() OVER (PARTITION BY alias_key, surface "
+        "ORDER BY score DESC, prior DESC, cui ASC) AS rank",
+    ).filter(f"rank <= {int(TOP_K_CANDIDATES)}")
 
 
 def resolution_table(candidates: DataFrame) -> DataFrame:
     """Accepted top-1 links: (alias_key, surface, cui, score)."""
-    return (
-        candidates.filter((F.col("rank") == 1) & (F.col("score") >= F.lit(LINK_ACCEPT_FLOOR)))
-        .select("alias_key", "surface", "cui", "score")
+    return candidates.filter(f"rank = 1 AND score >= {LINK_ACCEPT_FLOOR!r}").select(
+        "alias_key", "surface", "cui", "score"
     )
 
 
@@ -94,15 +92,11 @@ def resolve_mentions(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
 def resolve_triples(raw_triples: DataFrame, resolution: DataFrame) -> DataFrame:
     """CUI-resolve both endpoints of each raw triple (two broadcast joins);
     triples with an unresolvable endpoint are dropped (same as oracle)."""
-    subj = resolution.select(
-        F.col("alias_key").alias("subj_key"),
-        F.col("surface").alias("subj_surface"),
-        F.col("cui").alias("subj_cui"),
+    subj = resolution.selectExpr(
+        "alias_key AS subj_key", "surface AS subj_surface", "cui AS subj_cui"
     )
-    obj = resolution.select(
-        F.col("alias_key").alias("obj_key"),
-        F.col("surface").alias("obj_surface"),
-        F.col("cui").alias("obj_cui"),
+    obj = resolution.selectExpr(
+        "alias_key AS obj_key", "surface AS obj_surface", "cui AS obj_cui"
     )
     return (
         raw_triples.join(F.broadcast(subj), ["subj_key", "subj_surface"], "inner")

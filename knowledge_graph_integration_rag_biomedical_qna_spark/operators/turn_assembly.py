@@ -19,8 +19,7 @@ length, and AQE splits skewed shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 TURN_ORDER = ["ts", "role", "text", "tool"]
 
@@ -56,12 +55,17 @@ def assemble_turns(
 
             num_partitions = default_parallelism(transcripts.sparkSession)
         df = df.repartition(num_partitions, "conv_id")
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        *[F.col(c).asc_nulls_last() for c in TURN_ORDER]
-    )
+    # one SQL-string window expression instead of a Window-spec object tree:
+    # parses JVM-side in a single round trip (r6 plan-construction diet);
+    # ASC NULLS LAST matches the previous asc_nulls_last() exactly
+    order_sql = ", ".join(f"{c} ASC NULLS LAST" for c in TURN_ORDER)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        df.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY conv_id, turn_idx "
+            f"ORDER BY {order_sql}) AS _rn",
+        )
+        .filter("_rn = 1")
         .drop("_rn")
-        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .filter("trim(coalesce(text, '')) != ''")
     )

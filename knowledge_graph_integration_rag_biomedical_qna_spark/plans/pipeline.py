@@ -32,7 +32,6 @@ from ..operators.turn_assembly import assemble_turns
 class KGResult:
     turns: DataFrame
     unified: DataFrame       # persisted single-pass extraction (mentions+triples)
-    mentions: DataFrame
     raw_triples: DataFrame
     candidates: DataFrame
     resolution: DataFrame
@@ -40,9 +39,22 @@ class KGResult:
     kg_edge_stats: DataFrame  # deduplicated graph edges with counters
     kg_nodes: DataFrame
     mention_stats: DataFrame | None = None  # vocab-sized (alias_key, surface, n)
+    # per-occurrence mentions: either prebuilt, or a thunk resolved on first
+    # access (the collapsed-cache default never constructs the plan unless a
+    # consumer actually reads token spans — plan construction itself costs
+    # driver time, see build_kg docstring)
+    _mentions: DataFrame | None = None
+    _mentions_fn: object | None = None
+
+    @property
+    def mentions(self) -> DataFrame:
+        if self._mentions is None:
+            self._mentions = self._mentions_fn()
+        return self._mentions
 
     def unpersist(self) -> None:
-        for df in (self.unified, self.resolution, self.mention_stats):
+        for df in (self.unified, self.resolution, self.mention_stats,
+                   self._mentions):
             if df is None:
                 continue
             try:
@@ -174,6 +186,7 @@ def build_kg(
     assume_clustered: bool = False,
     collapse_mention_cache: bool = True,
     alias_index=None,
+    persist_mentions: bool = False,
 ) -> KGResult:
     """Compose stages [1]-[6].
 
@@ -204,14 +217,31 @@ def build_kg(
     does). Pass False to get the single-pass unified cache that `.mentions`
     shares.
 
+    `persist_mentions=True` (r6, for consumers reading BOTH edges and token
+    spans): forces the single-pass UNCOLLAPSED persisted cache — edges,
+    nodes, mention_stats and `.mentions` all derive from ONE cached
+    extraction, so reading both views runs extraction exactly once. The
+    trade is the ~12x larger cache the collapse exists to avoid; the default
+    (False) keeps the collapsed cache and the lazy second pass.
+
     `alias_index`: a prebuilt broadcast_alias_keys() result. A long-lived
     deployment ships the dictionary once, not once per job — steady-state
     callers (bench, repeated builds against one dictionary) hoist it; the
     default builds it here.
+
+    Driver-side plan-construction cost (r6): one build_kg call is ~1,100
+    py4j round-trips / ~0.3 s warm (was ~3,100 / 0.8 s before the
+    selectExpr/SQL-string rewrites of synth/assembly/linking/views) — at
+    steady state amortize it by reusing the returned plan (see bench.py).
     """
     from pyspark.sql import functions as F
 
     from ..operators.extraction import extract_collapsed_df, mention_stats_view
+
+    if persist_mentions:
+        # both views off ONE cached extraction pass — see docstring
+        collapse_mention_cache = False
+        persist = True
 
     turns = assemble_turns(transcripts, assume_clustered=assume_clustered)
     keys_bc = alias_index if alias_index is not None else broadcast_alias_keys(spark, aliases)
@@ -226,19 +256,22 @@ def build_kg(
     raw_triples = triples_view(unified)
 
     if collapse_mention_cache:
-        # per-occurrence view recomputes lazily (uncached) — see docstring
-        mentions = mentions_view(extract_all_df(turns, keys_bc))
+        # per-occurrence view: a LAZY uncached second extraction pass, built
+        # only if a consumer reads .mentions (plan construction deferred too)
+        mentions_fn = lambda: mentions_view(extract_all_df(turns, keys_bc))  # noqa: E731
         # vocab-sized already: sum the per-task partials
         mention_stats = mention_stats_view(unified)
     else:
-        mentions = mentions_view(unified)
+        mentions_fn = lambda: mentions_view(unified)  # noqa: E731
         # ONE transcript-sized aggregate collapses mentions to
         # vocabulary-sized (alias_key, surface, n) — map-side combine
         # absorbs hot-entity skew. It feeds BOTH candidate generation and
         # node canonicalization, so the mention rows are never re-read
         # after this pass.
-        mention_stats = mentions.groupBy("alias_key", "surface").agg(
-            F.count(F.lit(1)).alias("n_mentions")
+        mention_stats = (
+            mentions_view(unified)
+            .groupBy("alias_key", "surface")
+            .agg(F.expr("count(1) AS n_mentions"))
         )
     if persist:
         mention_stats = mention_stats.persist()
@@ -260,7 +293,7 @@ def build_kg(
     return KGResult(
         turns=turns,
         unified=unified,
-        mentions=mentions,
+        _mentions_fn=mentions_fn,
         raw_triples=raw_triples,
         candidates=candidates,
         resolution=resolution,
