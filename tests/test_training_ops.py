@@ -872,6 +872,63 @@ def test_hot_warn_shared_poller_no_thread_leak(spark):
     assert plans  # keep references alive through the census
 
 
+def test_observation_private_handle_pinned(spark):
+    """The shared poller's non-blocking probe uses the classic Observation's
+    private JVM handle (obs._jo.getRowOrEmpty). Pin it on the installed
+    Spark: an upgrade that removes or renames it must fail HERE, loudly —
+    not silently stop delivering hot-bucket warnings (r5 advice)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        _obs_ready,
+    )
+
+    obs = Observation("pin_probe")
+    df = spark.range(10).observe(obs, F.count(F.lit(1)).alias("n_hot_rows"))
+    # before any action: handle exists and reports not-ready (no exception
+    # swallowed into a permanent False)
+    assert hasattr(obs, "_jo")
+    assert obs._jo.getRowOrEmpty().isEmpty()
+    assert _obs_ready(obs) is False
+    df.count()
+    assert _obs_ready(obs) is True
+
+
+def test_obs_ready_connect_fallback_delivers():
+    """An Observation without a _jo (Spark Connect shape) must still become
+    ready: _obs_ready parks one bounded daemon waiter on the blocking get
+    and reports ready once it returns (r5 advice: the old bare except made
+    Connect observations permanently not-ready, silently dropping hot
+    warnings)."""
+    import threading
+    import time
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.operators.dedup import (
+        _obs_ready,
+    )
+
+    release = threading.Event()
+
+    class FakeConnectObservation:
+        # no _jo attribute, like pyspark.sql.connect.observation.Observation
+        @property
+        def get(self):
+            release.wait(timeout=10)
+            return {"n_hot_rows": 3}
+
+    obs = FakeConnectObservation()
+    assert _obs_ready(obs) is False  # waiter parked, get still blocking
+    assert _obs_ready(obs) is False  # second probe must not stack waiters
+    hot = [t for t in threading.enumerate() if t.name == "hotwarn-connect-wait"]
+    assert len(hot) == 1, [t.name for t in hot]
+    release.set()
+    deadline = time.time() + 5
+    while not _obs_ready(obs):
+        assert time.time() < deadline, "connect fallback never became ready"
+        time.sleep(0.02)
+
+
 def test_minhash_family_recall_profile_near_dups(spark):
     """r4 advice: the xxhash64 family draws different minhash permutations
     than the md5 family, so the two LSH candidate sets are different random
