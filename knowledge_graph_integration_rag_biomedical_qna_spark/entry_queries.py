@@ -2411,15 +2411,18 @@ def kg_link_score_blend(spark, sf_dir):
 # stamp (r01-r03) plus per-round judge oracle runs.
 # ---------------------------------------------------------------------------
 
+# r6 rotation (verdict item 4): the driver stamps the first 50 entries each
+# round, so the gate slots go to the queries with the STALEST last stamp.
+# In: 14 queries last driver-stamped r2/r3 (a2/a5/a6/a7/asof/t1/p2/p4/
+# f_scalar/u3/j2/q13/q19/grouping_sets). Out: 14 long-stable queries stamped
+# green in three consecutive rounds (r3+r4+r5) whose oracles remain below the
+# cap for the judge's per-round sweep.
 _GATE_ORDER = [
     # KG flagship chain
     "kg_pipeline_full", "kg_nodes_full", "kg_edge_stats_full",
     "kg_triple_extract_regex", "kg_entity_link_top1", "kg_canonicalize_nodes",
-    "kg_turn_assembly_window", "kg_turn_assembly_synth",
-    "kg_mention_detect_synth", "kg_mention_detect_spill",
-    "kg_streaming_ingest", "kg_checkpointed_run",
-    "kg_neighborhood", "kg_two_hop_paths", "kg_question_retrieval",
-    "kg_link_score_blend", "cot_input_dispatch", "conversation_assembly_concat",
+    "kg_turn_assembly_window", "kg_streaming_ingest", "kg_checkpointed_run",
+    "kg_question_retrieval",
     # dedup family
     "dedup_exact_hash", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_minhash_pairs_fast", "dedup_ngram_jaccard", "dedup_simhash",
@@ -2434,21 +2437,26 @@ _GATE_ORDER = [
     # pruning / relational core
     "prune_threshold_rank", "j6_eval_accuracy", "sessionize_events",
     "q1_pricing_summary", "q3_order_revenue", "q5_join_breadth",
-    "q2_min_subquery", "q4_semi_join_exists",
-    # SQL-surface packs + sketches
-    "f_math_functions", "window_functions_pack",
-    "distinct_aggregation", "merge_upsert_orders", "approx_sketches",
-    # --- gate cap (50) is here; below: every query has >=1 prior driver
-    # stamp (r01-r03) + judge oracle runs each round ---
-    "q13_order_histogram", "q19_disjunctive_predicates", "grouping_sets_agg",
-    "p1_empty_text_filter", "p2_delta_threshold_filter", "p4_percentile_filter",
-    "p5_coalesce_projection", "p9_group_min_filter",
-    "j1_broadcast_decode_join", "j2_keyed_lookup_join", "u3_anti_join_resume",
-    "asof_prev_click", "a2_argmax_per_group", "a5_deterministic_sample",
-    "a6_dedup_first_seen", "a7_canonical_grouping", "t1_topk_per_group",
-    "t5_global_limit", "u1_union_corpora", "f_scalar_functions", "f2_sep_join",
-    "f_json_extract", "window_running_sum", "rollup_aggregates",
-    "pivot_linestatus", "hourly_event_counts",
+    "merge_upsert_orders",
+    # rotated IN for r6 (last driver stamp r2/r3 — three rounds of code
+    # churn without a driver hash-check)
+    "a2_argmax_per_group", "a5_deterministic_sample", "a6_dedup_first_seen",
+    "a7_canonical_grouping", "asof_prev_click", "t1_topk_per_group",
+    "p2_delta_threshold_filter", "p4_percentile_filter", "f_scalar_functions",
+    "u3_anti_join_resume", "j2_keyed_lookup_join", "q13_order_histogram",
+    "q19_disjunctive_predicates", "grouping_sets_agg",
+    # --- gate cap (50) is here; below: every query keeps its oracle and is
+    # judge-swept each round; all have 3 consecutive driver stamps (r3-r5)
+    # or 2 stamps + stable since r2 ---
+    "kg_turn_assembly_synth", "kg_mention_detect_synth",
+    "kg_mention_detect_spill", "kg_neighborhood", "kg_two_hop_paths",
+    "kg_link_score_blend", "cot_input_dispatch", "conversation_assembly_concat",
+    "q2_min_subquery", "q4_semi_join_exists", "distinct_aggregation",
+    "approx_sketches", "f_math_functions", "window_functions_pack",
+    "p1_empty_text_filter", "p5_coalesce_projection", "p9_group_min_filter",
+    "j1_broadcast_decode_join", "t5_global_limit", "u1_union_corpora",
+    "f2_sep_join", "f_json_extract", "window_running_sum",
+    "rollup_aggregates", "pivot_linestatus", "hourly_event_counts",
 ]
 
 assert set(_GATE_ORDER) == set(REGISTRY), (

@@ -166,26 +166,32 @@ def test_t_wide_widens_single_file_scan(spark):
 
 def test_driver_gate_order_contract():
     """The driver's correctness gate stamps the FIRST 50 registry entries;
-    the order is curated so every query with the FEWEST prior driver stamps
-    sits inside the gate. r4 rotation: the three r3-new queries (never
-    stamped r01-r03) moved inside the cap, displacing three relational twins
-    stamped green in r01+r02+r03. Pin that: any registry edit that pushes a
-    least-stamped query past slot 50 fails here, not in the next round's
+    the order is curated so the queries with the STALEST last driver stamp
+    sit inside the gate. r6 rotation: the 14 queries last stamped r2/r3
+    moved inside the cap, displacing 14 queries stamped green in three
+    consecutive rounds (r3+r4+r5). Pin that: any registry edit that pushes a
+    rotated-in stale query past slot 50 fails here, not in the next round's
     CORRECTNESS file."""
     from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import REGISTRY
 
     top50 = list(REGISTRY)[:50]
-    never_stamped_r3 = {
-        "dedup_duplicate_groups", "corpus_clean_pipeline",
-        "streaming_stateful_progress",
+    rotated_in_r6 = {
+        "a2_argmax_per_group", "a5_deterministic_sample",
+        "a6_dedup_first_seen", "a7_canonical_grouping", "asof_prev_click",
+        "t1_topk_per_group", "p2_delta_threshold_filter",
+        "p4_percentile_filter", "f_scalar_functions", "u3_anti_join_resume",
+        "j2_keyed_lookup_join", "q13_order_histogram",
+        "q19_disjunctive_predicates", "grouping_sets_agg",
     }
-    missing = never_stamped_r3 - set(top50)
-    assert not missing, f"never-stamped queries fell out of the 50-slot gate: {missing}"
-    # the displaced twins must keep their oracles below the cap
+    missing = rotated_in_r6 - set(top50)
+    assert not missing, f"stale-stamped queries fell out of the 50-slot gate: {missing}"
+    # the flagship stays slot 1 (r6 perf done-criterion hash-checks it)
+    assert top50[0] == "kg_pipeline_full"
+    # displaced queries keep their oracles below the cap (judge-swept)
     below = list(REGISTRY)[50:]
-    for name in ("q13_order_histogram", "q19_disjunctive_predicates",
-                 "grouping_sets_agg"):
+    for name in ("kg_turn_assembly_synth", "kg_mention_detect_synth",
+                 "kg_neighborhood", "q2_min_subquery", "approx_sketches"):
         assert name in below and REGISTRY[name][1] is not None
-    # every gate entry must have an oracle (the gate is the hash contract)
-    for name in top50:
-        assert REGISTRY[name][1] is not None, f"{name} in the gate without an oracle"
+    # every registry entry must have an oracle (zero rows-only since r4)
+    for name in REGISTRY:
+        assert REGISTRY[name][1] is not None, f"{name} without an oracle"
