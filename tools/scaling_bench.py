@@ -16,6 +16,13 @@ reason. Both levels read the SAME materialized parquet input.
 
 Usage: python tools/scaling_bench.py [sf_dir] [repeats] [replicate] [N] [N4]
 
+Pre-registered host gate (r6, closes the r5 verdict's post-hoc-exclusion
+concern): each LEG is admitted only when the single-core probe reads quiet
+(`_cpu_probe() <= 0.95`) immediately before launch, retrying every 15 s for
+up to 10 minutes. If the host never goes quiet the leg runs anyway and the
+pair is recorded with probe_gated=false — recorded-but-excluded from the
+pre-registered series, decided BEFORE the timing exists, never after.
+
 Parallelism pair choice: raw-CPU calibration on this Firecracker VM shows
 the HARDWARE at ~0.76 efficiency from 8->32-wide (SMT/host oversubscription),
 and the r3 kernel is fast enough that even 2v8 saturates the box's memory
@@ -86,6 +93,25 @@ spark.stop()
 """
 
 
+QUIET_PROBE_THRESHOLD = 0.95  # pre-registered: quiet host reads 0.75-0.95
+
+
+def _quiet_gate(max_wait: float = 600.0) -> float:
+    """Block until the host probe reads quiet (<= QUIET_PROBE_THRESHOLD) or
+    `max_wait` elapses; returns the admitting probe value. Called immediately
+    before EACH timed leg so exclusion of loaded-host pairs is decided before
+    the measurement exists (pre-registered, not post-hoc)."""
+    import time
+
+    t0 = time.time()
+    while True:
+        v = _cpu_probe()
+        if v <= QUIET_PROBE_THRESHOLD or time.time() - t0 > max_wait:
+            return v
+        sys.stderr.write(f"host loaded (probe {v}); retrying in 15s\n")
+        time.sleep(15)
+
+
 def _cpu_probe() -> float:
     """Single-core busy-loop seconds (quiet host ~0.75-0.95 s, contended 2x+):
     recorded per pair so a reader can weigh sessions by host load."""
@@ -115,10 +141,27 @@ def main():
     n_lo = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_hi = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * n_lo
 
-    _run(PREP.format(repo=REPO, sf_dir=sf_dir, replicate=replicate, input=INPUT))
+    # prep is skipped when the materialized input already matches (a 16M-turn
+    # rewrite costs minutes per pair; the input is deterministic)
+    meta_path = INPUT + ".meta.json"
+    want_meta = {"sf_dir": sf_dir, "replicate": replicate}
+    have_meta = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                have_meta = json.load(fh)
+        except Exception:
+            have_meta = None
+    if have_meta != want_meta:
+        _run(PREP.format(repo=REPO, sf_dir=sf_dir, replicate=replicate, input=INPUT))
+        with open(meta_path, "w") as fh:
+            json.dump(want_meta, fh)
+
+    probe_lo = _quiet_gate()
     r8 = json.loads(
         [ln for ln in _run(MEASURE.format(repo=REPO, cpus=n_lo, repeats=repeats, input=INPUT)).splitlines() if ln.startswith("{")][-1]
     )
+    probe_hi = _quiet_gate()
     r32 = json.loads(
         [ln for ln in _run(MEASURE.format(repo=REPO, cpus=n_hi, repeats=repeats, input=INPUT)).splitlines() if ln.startswith("{")][-1]
     )
@@ -141,6 +184,9 @@ def main():
         "tps_lo": r8["turns_per_sec"], "tps_hi": r32["turns_per_sec"],
         "edges": r8["edges"], "efficiency": round(eff, 3),
         "cpu_probe_s": _cpu_probe(),
+        "cpu_probe_lo": probe_lo, "cpu_probe_hi": probe_hi,
+        "probe_gated": (probe_lo <= QUIET_PROBE_THRESHOLD
+                        and probe_hi <= QUIET_PROBE_THRESHOLD),
     }
     with open(pairs_path, "a") as fh:
         fh.write(json.dumps(rec) + "\n")
@@ -154,13 +200,34 @@ def main():
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
 
     def _table(ps):
+        def probes(p):
+            if "cpu_probe_lo" in p:
+                g = "yes" if p.get("probe_gated") else "NO"
+                return f"{p['cpu_probe_lo']}/{p['cpu_probe_hi']} ({g})"
+            return f"{p['cpu_probe_s']} (pre-r6: post-pair only)"
         return "\n".join(
-            f"| {p['sec_lo']} | {p['sec_hi']} | {p['tps_hi']:,} | {p['efficiency']} | {p['cpu_probe_s']} |"
+            f"| {p['sec_lo']} | {p['sec_hi']} | {p['tps_hi']:,} | {p['efficiency']} | {probes(p)} |"
             for p in ps
         )
 
     median = _median(same)
     rows = _table(same)
+    # pre-registered series (r6): pairs whose BOTH legs were admitted by the
+    # quiet-host gate before timing; exclusion is decided pre-measurement
+    gated = [p for p in same if p.get("probe_gated")]
+    run = 0
+    for p_ in reversed(gated):
+        if p_["efficiency"] >= 0.8:
+            run += 1
+        else:
+            break
+    gated_md = (
+        f"\n**Pre-registered probe-gated series (r6 protocol — both legs "
+        f"admitted at probe <= {QUIET_PROBE_THRESHOLD} BEFORE timing):** "
+        f"{len(gated)} pair(s), median {_median(gated) if gated else 'n/a'}, "
+        f"trailing consecutive pairs >= 0.8: {run}.\n"
+        if gated else ""
+    )
     # every OTHER config ever recorded renders too — the full pair history
     # stays auditable from this one file (grouped, each with its median)
     other_cfgs = sorted(
@@ -173,7 +240,7 @@ def main():
         other_sections.append(
             f"\n### Config local[{cfg[0]}] vs local[{cfg[1]}], x{cfg[2]} "
             f"({cfg[3]:,} turns) — median {_median(ps)} over {len(ps)} pair(s)\n\n"
-            "| T_N sec | T_4N sec | turns/sec @4N | efficiency | cpu_probe |\n"
+            "| T_N sec | T_4N sec | turns/sec @4N | efficiency | probe lo/hi (gated) |\n"
             "|---|---|---|---|---|\n" + _table(ps)
         )
     other_md = ("\n## All other recorded configs\n" + "\n".join(other_sections) + "\n"
@@ -193,14 +260,14 @@ local[{n_hi}]), fresh JVM per level, steady-state (workers warmed), best of
 run-to-run host-load variance, so the MEDIAN across sessions is the number;
 cpu_probe = single-core busy-loop seconds, quiet host ~0.75-0.95):
 
-| T_N sec | T_4N sec | turns/sec @4N | efficiency | cpu_probe |
+| T_N sec | T_4N sec | turns/sec @4N | efficiency | probe lo/hi (gated) |
 |---|---|---|---|---|
 {rows}
 
 **Median scaling efficiency across {len(same)} session pair(s): {median}**
 (efficiency = (T_N / T_4N) / {n_hi // n_lo}; outputs identical at both
 levels every pair: {r8["edges"]:,} edges, {r8["nodes"]} nodes.)
-
+{gated_md}
 Input-size note: the fixed per-run floor (driver-side plan analysis,
 scheduling, vocab-sized stages) is measurement overhead that vanishes at
 the 10^12-turn design scale; small inputs understate efficiency for that
