@@ -229,9 +229,10 @@ def build_kg(
     callers (bench, repeated builds against one dictionary) hoist it; the
     default builds it here.
 
-    Driver-side plan-construction cost (r6): one build_kg call is ~1,100
-    py4j round-trips / ~0.3 s warm (was ~3,100 / 0.8 s before the
-    selectExpr/SQL-string rewrites of synth/assembly/linking/views) — at
+    Driver-side plan-construction cost (r6): one warm build_kg call is ~470
+    py4j round-trips / ~0.45 s with a hoisted alias_index (~0.9 s cold incl.
+    the dictionary probe+broadcast) — down from ~3,100 / 0.75-1.3 s before
+    the selectExpr/SQL-string rewrites of synth/assembly/linking/views. At
     steady state amortize it by reusing the returned plan (see bench.py).
     """
     from pyspark.sql import functions as F
