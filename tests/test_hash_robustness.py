@@ -80,10 +80,23 @@ AUDITED_DOUBLE_COLUMNS = {
     # q1/q3 monetary aggregates converted r4 to exact integer cents (per-row
     # rounding before the sum) — no scaled-sum entries remain in the gate
     ("q3_order_revenue", "o_totalprice"): "passthrough",
-    ("q2_min_subquery", "l_extendedprice"): "passthrough",
-    ("f_math_functions", "sigmoid_v"): "libm-round6",
-    ("f_math_functions", "neg_log_ratio"): "libm-round6",
+    # q2_min_subquery (passthrough) and f_math_functions (libm-round6)
+    # rotated below the gate in r6; their entries come back with them
     ("merge_upsert_orders", "o_totalprice"): "passthrough (x2 exact)",
+    # r6 gate rotation brought six long-stable queries back inside the cap
+    # (all were driver-green r1/r2 under the same hasher — arguments below
+    # say WHY that held and still holds):
+    ("a2_argmax_per_group", "value"): "passthrough",
+    ("t1_topk_per_group", "l_extendedprice"): "passthrough",
+    ("p4_percentile_filter", "value"): "passthrough (p75 is filter-only)",
+    ("p2_delta_threshold_filter", "delta"):
+        "decimal-twin (partition-mean drift ~1e-15 << the round(.,4) step)",
+    ("q19_disjunctive_predicates", "sum_qty"):
+        "integer-exact sum (l_quantity integer-valued; partials < 2^53, "
+        "order-independent)",
+    ("grouping_sets_agg", "sum_qty"):
+        "integer-exact sum (l_quantity integer-valued; partials < 2^53, "
+        "order-independent)",
 }
 
 _FORBIDDEN_TYPES = re.compile(r"HUGEINT|INT128|DECIMAL", re.IGNORECASE)
@@ -161,10 +174,33 @@ def test_every_gated_double_is_audited(gate_described):
     assert not stale, f"audit entries for columns no longer in the gate: {stale}"
 
 
-def test_r3_failures_are_integer_now(gate_described):
+def test_r3_failures_are_integer_now():
     """The two r3 driver-red rows must emit integers where they emitted
-    multi-term doubles / HUGEINTs."""
-    cols = dict(gate_described)
+    multi-term doubles / HUGEINTs. These queries rotate in and out of the
+    50-slot driver gate, so DESCRIBE them from the full registry — the
+    integer-units policy is about the queries, not their gate position."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import (
+        REGISTRY,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    cols = {}
+    for name in ("kg_question_retrieval", "q5_join_breadth",
+                 "kg_link_score_blend", "embed_link_score",
+                 "j6_eval_accuracy"):
+        sql = REGISTRY[name][1]
+        if "read_parquet" in sql and "/current/" in sql:
+            from knowledge_graph_integration_rag_biomedical_qna_spark.oracle import (
+                materialize as M,
+            )
+            M.materialize(SF_DIR, name)
+            tag = os.path.basename(os.path.normpath(SF_DIR))
+            sql = sql.replace(f"/current/{M.GATE_SF_TAG}/", f"/current/{tag}/")
+        cols[name] = [(c[0], c[1]) for c in con.execute(f"DESCRIBE {sql}").fetchall()]
     kqr = dict(cols["kg_question_retrieval"])
     assert "rank_score" not in kqr
     assert kqr["rank_score_micro"] == "BIGINT"
