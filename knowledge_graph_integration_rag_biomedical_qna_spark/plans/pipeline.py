@@ -136,7 +136,28 @@ def broadcast_alias_keys(
     for local mode."""
     from ..core.patterns import AliasIndex
 
-    distinct = aliases.select("alias_key").distinct()
+    proj = aliases.select("alias_key")
+    # LocalRelation fast path (r6): a dictionary built from driver-resident
+    # literals (VALUES / parallelized local data the optimizer folded) never
+    # needs the cluster — collect() executes driver-side with zero Spark
+    # jobs, where the distinct-probe below costs a full 32-partition shuffle
+    # job (~0.45 s of task scheduling for a 10-row table, measured). The
+    # rows already live in driver memory, so collecting them is not a new
+    # driver-size risk. Classic-only probe; any failure falls through to
+    # the job-based probe.
+    try:
+        opt = proj._jdf.queryExecution().optimizedPlan()
+        is_local = opt.getClass().getSimpleName() == "LocalRelation"
+    except Exception:  # Spark Connect or plan-access change
+        is_local = False
+    if is_local:
+        idx = AliasIndex(frozenset(r[0] for r in proj.collect()))
+        try:
+            return spark.sparkContext.broadcast(idx)
+        except Exception:  # Spark Connect: no SparkContext on the client
+            return _ClosureBroadcast(idx)
+
+    distinct = proj.distinct()
     # size probe: one limit(1M+1)+collect detects-and-fetches dictionaries up
     # to 1M keys (~tens of MB — harmless) in a single job, which is the
     # overwhelmingly common case. Only when the probe overflows does a

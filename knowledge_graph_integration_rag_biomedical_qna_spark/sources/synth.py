@@ -44,8 +44,24 @@ PLANT_SUBJECTS = [a for a, _, _ in ALIAS_SPEC[:8]]
 
 
 def synth_aliases(spark: SparkSession) -> DataFrame:
+    """The dictionary as a SQL VALUES literal, not createDataFrame: classic
+    createDataFrame parallelizes Python rows into an RDD-backed plan, so
+    every dictionary probe/broadcast is a real 32-task job (~0.45 s of pure
+    scheduling for 10 rows, measured r6). A VALUES list analyzes to a
+    LocalRelation the optimizer folds projections into — driver-local
+    collect, no job — which broadcast_alias_keys detects and exploits."""
     rows = [(normalize_alias(a), a, cui, p) for a, cui, p in ALIAS_SPEC]
-    return spark.createDataFrame(rows, "alias_key string, alias string, cui string, prior double")
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    values = ", ".join(
+        # repr(float) is shortest-round-trip, so the DOUBLE literal parses
+        # back to the exact same value createDataFrame shipped
+        f"('{esc(k)}', '{esc(a)}', '{esc(c)}', CAST({p!r} AS DOUBLE))"
+        for k, a, c, p in rows
+    )
+    return spark.sql(
+        "SELECT alias_key, alias, cui, prior FROM VALUES "
+        f"{values} AS t(alias_key, alias, cui, prior)"
+    )
 
 
 def synth_transcripts(docs: DataFrame) -> DataFrame:
