@@ -579,7 +579,11 @@ _KG_DICT_SQL = "VALUES " + ", ".join(f"('{a}', '{c}', {p})" for a, c, p in _KG_D
 
 
 def _kg_dict_df(spark):
-    return spark.createDataFrame(_KG_DICT, "alias string, cui string, prior double")
+    from .sources.synth import values_df
+
+    # LocalRelation, not an RDD-backed parallelize: broadcasts/collects of
+    # this 10-row dictionary run zero Spark jobs (see values_df)
+    return values_df(spark, _KG_DICT, "alias string, cui string, prior double")
 
 
 @q(
@@ -1777,8 +1781,12 @@ def kg_question_retrieval(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     aliases = synth_aliases(spark)
     kg = build_kg(spark, synth_transcripts(docs), aliases)
-    # deterministic question set over the planted vocabulary
-    questions = spark.createDataFrame(
+    # deterministic question set over the planted vocabulary (LocalRelation
+    # via values_df: zero jobs to build/broadcast the 16-row table)
+    from .sources.synth import values_df
+
+    questions = values_df(
+        spark,
         [
             (i, f"what does {PLANT_SUBJECTS[i % len(PLANT_SUBJECTS)]} "
                 f"{PLANT_PREDS[i % len(PLANT_PREDS)]}?")
@@ -1888,8 +1896,10 @@ def kg_neighborhood(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     kg = build_kg(spark, synth_transcripts(docs), synth_aliases(spark))
-    seeds = spark.createDataFrame(
-        [("K0000001",), ("K0000002",), ("K0000003",)], "seed_cui string"
+    from .sources.synth import values_df
+
+    seeds = values_df(
+        spark, [("K0000001",), ("K0000002",), ("K0000003",)], "seed_cui string"
     )
     return neighborhood(kg.kg_edge_stats, seeds, hops=2, k=10)
 

@@ -43,24 +43,45 @@ PLANT_PREDS = ["inhibits", "treats", "causes", "activates", "prevents"]
 PLANT_SUBJECTS = [a for a, _, _ in ALIAS_SPEC[:8]]
 
 
-def synth_aliases(spark: SparkSession) -> DataFrame:
-    """The dictionary as a SQL VALUES literal, not createDataFrame: classic
-    createDataFrame parallelizes Python rows into an RDD-backed plan, so
-    every dictionary probe/broadcast is a real 32-task job (~0.45 s of pure
-    scheduling for 10 rows, measured r6). A VALUES list analyzes to a
-    LocalRelation the optimizer folds projections into — driver-local
-    collect, no job — which broadcast_alias_keys detects and exploits."""
-    rows = [(normalize_alias(a), a, cui, p) for a, cui, p in ALIAS_SPEC]
-    esc = lambda s: s.replace("'", "''")  # noqa: E731
-    values = ", ".join(
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
         # repr(float) is shortest-round-trip, so the DOUBLE literal parses
-        # back to the exact same value createDataFrame shipped
-        f"('{esc(k)}', '{esc(a)}', '{esc(c)}', CAST({p!r} AS DOUBLE))"
-        for k, a, c, p in rows
+        # back to the exact bits createDataFrame would have shipped
+        return f"CAST({v!r} AS DOUBLE)"
+    return str(v)
+
+
+def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-local table as a SQL VALUES literal, not createDataFrame:
+    classic createDataFrame parallelizes Python rows into an RDD-backed plan,
+    so every probe/broadcast/collect of the table is a real N-task job
+    (~0.45 s of pure scheduling for a 10-row table at local[32], measured
+    r6). A VALUES list analyzes to a LocalRelation the optimizer folds
+    projections into — driver-local collect, zero jobs, and a broadcast that
+    builds straight from driver memory. `schema` is the same simple
+    "name type, ..." DDL string createDataFrame took; every column is CAST
+    to its declared type so result dtypes are identical."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    names = ", ".join(n for n, _ in fields)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in fields)
+    values = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
     )
-    return spark.sql(
-        "SELECT alias_key, alias, cui, prior FROM VALUES "
-        f"{values} AS t(alias_key, alias, cui, prior)"
+    return spark.sql(f"SELECT {sel} FROM VALUES {values} AS t({names})")
+
+
+def synth_aliases(spark: SparkSession) -> DataFrame:
+    """The dictionary as a LocalRelation (see values_df) so
+    broadcast_alias_keys's fast path collects it with zero Spark jobs."""
+    rows = [(normalize_alias(a), a, cui, p) for a, cui, p in ALIAS_SPEC]
+    return values_df(
+        spark, rows, "alias_key string, alias string, cui string, prior double"
     )
 
 
