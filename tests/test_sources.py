@@ -151,3 +151,57 @@ def test_alias_broadcast_file_backed_escape_hatch(spark, fixture_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_values_df_matches_createdataframe(spark):
+    """values_df (LocalRelation literal) must be a drop-in for
+    createDataFrame on the same DDL schema: identical schema and rows,
+    including quote escaping, None, bool, and float round-trip bits —
+    plus the property the swap exists for: a LocalRelation plan whose
+    collect runs zero Spark jobs."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import values_df
+
+    rows = [
+        ("o'brien", 1, 0.1, True, None),
+        ("plain", -2, 2.5e-17, False, 9),
+        (None, 0, float(2**53 - 1), None, None),
+    ]
+    schema = "name string, n int, x double, flag boolean, extra bigint"
+    a = values_df(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    # same names and types; nullability may be TIGHTER (VALUES infers
+    # non-nullable for columns with no NULL literal — strictly more info)
+    assert [(f.name, f.dataType) for f in a.schema] == [
+        (f.name, f.dataType) for f in b.schema
+    ]
+    key = lambda t: tuple(map(repr, t))  # noqa: E731 — None-safe sort
+    assert sorted(map(tuple, a.collect()), key=key) == sorted(
+        map(tuple, b.collect()), key=key
+    )
+    opt = a._jdf.queryExecution().optimizedPlan()
+    assert opt.getClass().getSimpleName() == "LocalRelation"
+
+
+def test_broadcast_alias_keys_local_fast_path(spark):
+    """A LocalRelation dictionary is collected driver-side: zero Spark jobs
+    run during broadcast_alias_keys, and the index matches the job-based
+    path built from the same rows via an RDD-backed createDataFrame."""
+    from knowledge_graph_integration_rag_biomedical_qna_spark.plans.pipeline import (
+        broadcast_alias_keys,
+    )
+    from knowledge_graph_integration_rag_biomedical_qna_spark.sources.synth import (
+        synth_aliases,
+    )
+
+    aliases = synth_aliases(spark)
+    tracker_before = spark._jsc.sc().dagScheduler().nextJobId()
+    bc = broadcast_alias_keys(spark, aliases)
+    tracker_after = spark._jsc.sc().dagScheduler().nextJobId()
+    assert tracker_after == tracker_before, "fast path must launch no Spark job"
+
+    rdd_backed = spark.createDataFrame(
+        [tuple(r) for r in aliases.collect()], aliases.schema
+    )
+    bc2 = broadcast_alias_keys(spark, rdd_backed)
+    assert bc.value.singles == bc2.value.singles
+    assert bc.value.multi_first == bc2.value.multi_first
