@@ -76,17 +76,31 @@ _PA_VOCAB_CACHE: dict[int, tuple] = {}
 
 
 def _vocab_arrays(keys_by_len: dict) -> dict:
-    """{span: (keys arrow array, distinct-first-words arrow array)}. The
-    firsts array drives the sparse k-gram prefilter: a k-gram can only match
-    where its first token is some phrase's first word, so the (expensive)
-    string joins run on those positions only."""
+    """{span: (keys arrow array, distinct-first-words arrow array)} plus a
+    "_union" entry: (union word arrow array, uint8 bit-LUT with a 0 sentinel
+    slot, {span: bit}). The union collapses the family's per-span hash probes
+    (exact membership for span 1, first-word prefilter for span >= 2) into ONE
+    index_in pass at match time — each extra is_in was a full re-hash of the
+    token stream (~6-9 ms per probe on the 51k-turn batch)."""
     import pyarrow as pa
 
     out = {}
-    for k, v in keys_by_len.items():
+    word_bits: dict[str, int] = {}
+    bit_of: dict[int, int] = {}
+    for bit_ix, k in enumerate(sorted(keys_by_len)):
+        v = keys_by_len[k]
         keys = sorted(v)
         firsts = sorted({key.split(" ", 1)[0] for key in keys}) if k > 1 else []
         out[k] = (pa.array(keys, type=pa.string()), pa.array(firsts, type=pa.string()))
+        bit = 1 << bit_ix
+        bit_of[k] = bit
+        for w in (keys if k == 1 else firsts):
+            word_bits[w] = word_bits.get(w, 0) | bit
+    union = sorted(word_bits)
+    lut = np.zeros(len(union) + 1, dtype=np.uint8)  # slot 0 = not-in-union
+    for i, w in enumerate(union):
+        lut[i + 1] = word_bits[w]
+    out["_union"] = (pa.array(union, type=pa.string()), lut, bit_of)
     return out
 
 
@@ -107,6 +121,26 @@ def _pred_vocab():
         hit = (None, _vocab_arrays(_PRED_BY_LEN))
         _PA_VOCAB_CACHE[key] = hit
     return hit[1]
+
+
+def _pred_norm_map():
+    """(phrases arrow array, aligned norms arrow array) for the whole
+    predicate lexicon — lets the triple stage map matched phrase -> canonical
+    predicate with index_in/take instead of a to_pylist + Python-dict pass
+    (that pass was ~2/3 of the triple stage's wall)."""
+    import pyarrow as pa
+
+    key = "__pred_norms__"
+    hit = _PA_VOCAB_CACHE.get(key)
+    if hit is None:
+        phrases, norms = [], []
+        for by in _PRED_BY_LEN.values():
+            for ph, nm in by.items():
+                phrases.append(ph)
+                norms.append(nm)
+        hit = (pa.array(phrases, type=pa.string()), pa.array(norms, type=pa.string()))
+        _PA_VOCAB_CACHE[key] = hit
+    return hit
 
 
 def _empty_unified() -> pd.DataFrame:
@@ -145,19 +179,20 @@ def _ngram_masks(values, sent_of: np.ndarray, vocab_by_len: dict, pc):
     import pyarrow as pa
 
     total = len(values)
+    union, lut, bit_of = vocab_by_len["_union"]
+    iix = pc.fill_null(pc.index_in(values, value_set=union), -1)
+    bits = lut[iix.to_numpy(zero_copy_only=False) + 1]
     out: list[tuple[int, np.ndarray, object, object]] = []
-    for k in sorted(vocab_by_len, reverse=True):
+    for k in sorted((s for s in vocab_by_len if s != "_union"), reverse=True):
         vocab, firsts = vocab_by_len[k]
         mask = np.zeros(total, dtype=bool)
         keys = None
         kpos = None
         if k == 1:
-            mask = pc.is_in(values, value_set=vocab).to_numpy(zero_copy_only=False)
+            mask = (bits & bit_of[k]) != 0
             keys = values
         elif total >= k and len(vocab):
-            cand = pc.is_in(
-                values.slice(0, total - k + 1), value_set=firsts
-            ).to_numpy(zero_copy_only=False)
+            cand = (bits[: total - k + 1] & bit_of[k]) != 0
             cand &= sent_of[: total - k + 1] == sent_of[k - 1 :]
             kpos = np.flatnonzero(cand)
             if kpos.size:
@@ -202,16 +237,15 @@ def _greedy_resolve(masks_desc, sent_of: np.ndarray):
     taken_span: list[int] = []
     cur_sent = -1
     next_free = 0
-    span_l = span_at.tolist()
-    sent_l = sent_of.tolist()
-    for p in np.flatnonzero((span_at > 0) & dirty_tok).tolist():
-        s = sent_l[p]
+    # gather candidate attributes BEFORE .tolist(): hit-sized conversions,
+    # never token-sized (full-array tolist was ~20% of kernel wall)
+    cand = np.flatnonzero((span_at > 0) & dirty_tok)
+    for p, s, k in zip(cand.tolist(), sent_of[cand].tolist(), span_at[cand].tolist()):
         if s != cur_sent:
             cur_sent = s
             next_free = 0
         if p < next_free:
             continue
-        k = span_l[p]
         taken_pos.append(p)
         taken_span.append(k)
         next_free = p + k
@@ -269,6 +303,11 @@ _LUT_CONT[ord("'")] = True
 _LUT_CONT[ord("-")] = True
 _LUT_LOWER = np.arange(256, dtype=np.uint8)
 _LUT_LOWER[ord("A") : ord("Z") + 1] += 32
+# NOTE (measured, do not "optimize"): a byte-LUT twin of the dirty-sentence
+# regex probe was built and interleave-A/B'd here — 17.7 ms vs RE2's 9.8 ms
+# on the 51k-turn batch. The numpy version needs ~4 byte-sized boolean
+# temporaries and this host's large-allocation page-fault cost dominates;
+# RE2's single fused pass wins. The regex probe stays.
 
 
 def _tokenize_arrow(sent_arr, pa):
@@ -298,21 +337,24 @@ def _tokenize_arrow(sent_arr, pa):
     at_start[rel[:-1][rel[:-1] < len(d)]] = True
     prev_c = np.r_[False, C[:-1]]
     run_start = C & (~prev_c | at_start)
-    run_id = np.cumsum(run_start) - 1  # valid where C
     next_c = np.r_[C[1:], False]
     next_start = np.r_[at_start[1:], True]
     run_end_mask = C & (~next_c | next_start)
-    run_end_pos = np.flatnonzero(run_end_mask)  # one per run, run-id order
+    run_start_pos = np.flatnonzero(run_start)   # one per run, ascending
+    run_end_pos = np.flatnonzero(run_end_mask)  # same count, paired by rank
     s_pos = np.flatnonzero(S)                   # S implies C
     if s_pos.size == 0:
         return "EMPTY"
-    rid = run_id[s_pos]
-    # rid is non-decreasing (run_id is non-decreasing along d, s_pos is
-    # ascending), so first-occurrence-by-diff replaces np.unique's sort
-    first_ix = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
-    uniq_rid = rid[first_ix]
-    tok_start = s_pos[first_ix]                 # first alnum in each token run
-    tok_end = run_end_pos[uniq_rid] + 1
+    # a run's token starts at its FIRST alnum byte (runs may open with '- which
+    # never starts a token): run-sized bisect into s_pos replaces the old
+    # byte-sized run-id cumsum + alnum-sized gather/diff (the kernel's largest
+    # int64 temporaries — also its page-fault tail on this host)
+    six = np.searchsorted(s_pos, run_start_pos, side="left")
+    valid = six < s_pos.size
+    sixc = np.minimum(six, s_pos.size - 1)
+    valid &= s_pos[sixc] <= run_end_pos         # run contains an alnum at all
+    tok_start = s_pos[sixc[valid]]              # first alnum in each token run
+    tok_end = run_end_pos[valid] + 1
     total = tok_start.size
     sent_of = np.searchsorted(rel, tok_start, side="right") - 1
     first = np.flatnonzero(np.r_[True, sent_of[1:] != sent_of[:-1]])
@@ -322,9 +364,11 @@ def _tokenize_arrow(sent_arr, pa):
     lens = (tok_end - tok_start).astype(np.int64)
     out_off = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=out_off[1:])
-    gather = np.arange(int(out_off[-1]), dtype=np.int64) + np.repeat(
-        tok_start - out_off[:-1], lens
-    )
+    # int32 gather index: token-byte totals are far below 2^31 (Arrow string
+    # offsets are int32 anyway), and halving the index width halves the
+    # kernel's largest remaining temporary
+    gather = np.arange(int(out_off[-1]), dtype=np.int32)
+    gather += np.repeat((tok_start - out_off[:-1]).astype(np.int32), lens)
     low_buf = _LUT_LOWER[d[gather]]
     low = pa.Array.from_buffers(
         pa.string(), total,
@@ -664,13 +708,13 @@ def _extract_fast(conv, turn, texts, idx: AliasIndex):
         tri_sent_a = p_sent[vi]
         tsubj = sic[vi]
         tobj = oic[vi]
-        p_phrase = _gather_strings(p_pos[vi], p_span[vi], pred_masks, pc)
-        pl = p_span[vi].tolist()
-        tri_pred = [_PRED_BY_LEN[k][ph] for k, ph in zip(pl, p_phrase.tolist())]
+        p_phrase = _gather_strings_arrow(p_pos[vi], p_span[vi], pred_masks, pc)
+        ph_arr, nm_arr = _pred_norm_map()
+        tri_pred_arr = pc.take(nm_arr, pc.index_in(p_phrase, value_set=ph_arr))
         tri_conf = _CONF_TABLE[(sg[vi] + og[vi]).astype(np.int64)]
     else:
         tri_sent_a = tsubj = tobj = np.array([], dtype=np.int64)
-        tri_pred = []
+        tri_pred_arr = pa.array([], type=pa.string())
         tri_conf = np.array([], dtype=np.float64)
 
     # --- assemble in row-path order: per sentence, mentions then triples ---
@@ -718,7 +762,8 @@ def _extract_fast(conv, turn, texts, idx: AliasIndex):
         _i32(ment_te, -1),
         _s(nulls_m, ment_surf_arr.take(tsubj_pa) if n_t else nulls_t),
         _s(nulls_m, ment_key_arr.take(tsubj_pa) if n_t else nulls_t),
-        _s(nulls_m, pa.array(tri_pred, type=pa.string())),
+        _s(nulls_m, tri_pred_arr.combine_chunks()
+           if isinstance(tri_pred_arr, pa.ChunkedArray) else tri_pred_arr),
         _s(nulls_m, ment_surf_arr.take(tobj_pa) if n_t else nulls_t),
         _s(nulls_m, ment_key_arr.take(tobj_pa) if n_t else nulls_t),
         pa.array(np.concatenate([np.full(n_m, np.nan), tri_conf])[order]),
