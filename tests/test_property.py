@@ -286,3 +286,53 @@ def test_divergent_whitespace_chars_route_to_slow_path():
     got = _norm_unified(extract_unified_pdf(pdf, idx))
     want = _norm_unified(row_path_unified_pdf(pdf, idx))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+word_st = st.sampled_from(
+    ["aspirin", "cox2", "beta", "blocker", "tnf", "alpha", "il-6", "treats",
+     "inhibits", "the", "a", "risk", "of", "xyz"]
+)
+
+
+@given(
+    st.lists(word_st, min_size=0, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_ngram_masks_equal_per_span_is_in(words, breaks):
+    """The single-pass union-vocabulary bitmask prefilter in _ngram_masks must
+    produce exactly the per-span masks of the naive one-is_in-per-span
+    specification (k=1 exact membership; k>=2 sentence-bounded k-gram
+    membership) for any token stream and sentence layout."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.patterns import AliasIndex
+    from knowledge_graph_integration_rag_biomedical_qna_spark.core.vectorized import (
+        _ngram_masks,
+        _pa_vocab,
+    )
+
+    idx = AliasIndex(KEYS)
+    values = pa.array(words, type=pa.string())
+    # breaks -> monotone sentence ids of the same length as words
+    sent_of = np.cumsum([(breaks[i % len(breaks)] == 0) if breaks else 0
+                         for i in range(len(words))]).astype(np.int64) \
+        if words else np.array([], dtype=np.int64)
+    got = _ngram_masks(values, sent_of, _pa_vocab(idx), pc)
+    kbl = idx.keys_by_len()
+    total = len(words)
+    for k, mask, keys, kpos in got:
+        vocab = kbl.get(k, frozenset())
+        want = np.zeros(total, dtype=bool)
+        for p in range(total - k + 1):
+            if k > 1 and sent_of[p] != sent_of[p + k - 1]:
+                continue
+            if " ".join(words[p : p + k]) in vocab:
+                want[p] = True
+        assert np.array_equal(np.asarray(mask, dtype=bool), want), (k, words)
+        # the keys/kpos gather contract: keys[j] is the k-gram at kpos[j]
+        if k > 1 and kpos is not None and len(kpos):
+            for j, p in enumerate(kpos.tolist()):
+                assert keys[j].as_py() == " ".join(words[p : p + k])
