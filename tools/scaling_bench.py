@@ -154,21 +154,59 @@ CLEAN_MEDIAN = 0.95  # pre-registered r6b leg-admission thresholds (idle ~0.81)
 CLEAN_P90 = 1.15
 
 
+_MEMBW_SRC = None
+_MEMBW_DST = None
+
+
+def _membw_probe() -> float:
+    """Seconds to copy a 64 MB ndarray between two PREALLOCATED buffers —
+    pure memory-bandwidth, no allocation/page-fault component. The busy-loop
+    `_cpu_probe` is register-bound and blind to bandwidth contention from
+    co-tenant load; an r6 interleaved kernel A/B showed legs it admitted as
+    clean still carrying 15-20% wall inflation (and two "clean" superlinear
+    pairs) from exactly that. Recorded ALONGSIDE the pre-registered r6b rule,
+    never gating it — changing admission mid-series would invalidate the
+    series; a future round can pre-register a bandwidth-aware rule over the
+    calibration these samples accumulate. Idle host: ~0.006 s median
+    (first call ~2x while the destination pages settle)."""
+    global _MEMBW_SRC, _MEMBW_DST
+    import time
+
+    import numpy as np
+
+    if _MEMBW_SRC is None:
+        _MEMBW_SRC = np.ones(8_000_000, dtype=np.float64)
+        _MEMBW_DST = np.empty_like(_MEMBW_SRC)
+        np.copyto(_MEMBW_DST, _MEMBW_SRC)  # fault both buffers in once
+    t0 = time.perf_counter()
+    np.copyto(_MEMBW_DST, _MEMBW_SRC)
+    return round(time.perf_counter() - t0, 4)
+
+
 def _run_monitored(code: str) -> tuple[str, dict]:
-    """Run a timed leg while sampling the busy-loop probe every ~2 s in this
-    process. Returns (stdout, inflight_stats). The monitor thread is the only
-    Python work in the parent while the child runs, so its samples measure
-    host-core speed, not GIL contention."""
+    """Run a timed leg while sampling the busy-loop probe (and the
+    memory-bandwidth probe, recorded-not-gating) every ~2 s in this process.
+    Returns (stdout, inflight_stats). The monitor thread is the only Python
+    work in the parent while the child runs, so its samples measure host-core
+    speed, not GIL contention."""
     import statistics
     import threading
     import time
 
     samples: list[float] = []
+    mem_samples: list[float] = []
     stop = threading.Event()
+
+    # allocate + fault the probe buffers BEFORE the leg starts: the 128 MB
+    # first-touch can hit this host's page-fault storms (minutes-long in the
+    # tail) and would otherwise stall the monitor past its join timeout,
+    # silently dropping every membw sample
+    _membw_probe()
 
     def monitor():
         while not stop.is_set():
             samples.append(_cpu_probe())
+            mem_samples.append(_membw_probe())
             stop.wait(2.0)
 
     th = threading.Thread(target=monitor, daemon=True)
@@ -187,6 +225,10 @@ def _run_monitored(code: str) -> tuple[str, dict]:
                  "clean": med <= CLEAN_MEDIAN and p90 <= CLEAN_P90}
     else:
         stats = {"n": 0, "median": None, "p90": None, "max": None, "clean": False}
+    if mem_samples:
+        msrt = sorted(mem_samples)
+        stats["membw_median"] = round(statistics.median(msrt), 4)
+        stats["membw_p90"] = msrt[min(len(msrt) - 1, int(0.9 * (len(msrt) - 1) + 0.999))]
     return out, stats
 
 
