@@ -53,9 +53,37 @@ BENCH_QUERIES = [
 INTERLEAVED_AB = ("dedup_minhash_pairs", "dedup_minhash_pairs_fast")
 
 
+def _host_quiet_gate(max_wait: float = 300.0) -> float:
+    """Wait (up to max_wait) for the shared host's CPU to read quiet before
+    timing anything: this VM shows 2-3x co-tenant bursts, and a bench run
+    that lands on one misgrades the whole round (two r6 full runs measured
+    1.5-2x inflated; probe-confirmed). Same busy-loop probe and 0.95
+    threshold as tools/scaling_bench.py's pre-registered leg gate; the
+    admitting value is reported as "host_probe" in the JSON so a reader can
+    weigh the numbers. If the host never quiets, run anyway — a late number
+    beats none."""
+    import time as _t
+
+    def probe() -> float:
+        t0 = _t.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        return round(_t.perf_counter() - t0, 2)
+
+    deadline = _t.monotonic() + max_wait
+    while True:
+        v = probe()
+        if v <= 0.95 or _t.monotonic() >= deadline:
+            return v
+        print(f"bench: host loaded (probe {v}); retrying in 10s", file=sys.stderr)
+        _t.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    host_probe = _host_quiet_gate()
 
     from knowledge_graph_integration_rag_biomedical_qna_spark.entry_queries import REGISTRY
     from knowledge_graph_integration_rag_biomedical_qna_spark.session import get_spark
@@ -170,6 +198,12 @@ def main() -> None:
                 best = dt
         return best
 
+    # re-gate before the steady block: it runs ~6 min after the start gate
+    # and carries the headline turns/sec — a point sample at t=0 cannot
+    # protect it (measured: a mid-run burst inflated the steady lines 1.8x
+    # while the registry slice stayed sane)
+    host_probe_steady = _host_quiet_gate(max_wait=180.0)
+
     timings["kg_pipeline_steady_perjob_x20"] = perjob_best()
 
     kg = build_kg(spark, big_tr, aliases, persist=False, alias_index=alias_index)
@@ -208,6 +242,11 @@ def main() -> None:
                 "turns": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "cpus": cpus,
+                # busy-loop seconds admitting the run / the steady block
+                # (quiet ~0.75-0.95; see _host_quiet_gate) — weigh the
+                # numbers accordingly
+                "host_probe": host_probe,
+                "host_probe_steady": host_probe_steady,
                 # measurement-regime stamps (r5 advice: historical
                 # comparisons must not silently mix methodologies)
                 "methodology": {
