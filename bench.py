@@ -53,7 +53,7 @@ BENCH_QUERIES = [
 INTERLEAVED_AB = ("dedup_minhash_pairs", "dedup_minhash_pairs_fast")
 
 
-def _host_quiet_gate(max_wait: float = 300.0) -> float:
+def _host_quiet_gate(max_wait: float = 240.0) -> float:
     """Wait (up to max_wait) for the shared host's CPU to read quiet before
     timing anything: this VM shows 2-3x co-tenant bursts, and a bench run
     that lands on one misgrades the whole round (two r6 full runs measured
@@ -202,7 +202,7 @@ def main() -> None:
     # and carries the headline turns/sec — a point sample at t=0 cannot
     # protect it (measured: a mid-run burst inflated the steady lines 1.8x
     # while the registry slice stayed sane)
-    host_probe_steady = _host_quiet_gate(max_wait=180.0)
+    host_probe_steady = _host_quiet_gate(max_wait=120.0)
 
     timings["kg_pipeline_steady_perjob_x20"] = perjob_best()
 
