@@ -395,6 +395,25 @@ cpu_probe = single-core busy-loop seconds, quiet host ~0.75-0.95):
 (efficiency = (T_N / T_4N) / {n_hi // n_lo}; outputs identical at both
 levels every pair: {r8["edges"]:,} edges, {r8["nodes"]} nodes.)
 {gated_md}
+Superlinear "clean" pairs (eff > 1.0) are a measured artifact of the CPU
+probe's blind spot, not of the engine: the busy-loop monitor is
+register-bound and cannot see memory-bandwidth contention from co-tenant
+load, which inflates a leg 15-20% while reading CPU-clean (adjudicated by
+an interleaved worktree A/B, BENCH/PERF_NOTES.md round-6 fourth session).
+Since then every leg also records a 64 MB copy probe (membw_median/p90,
+idle ~0.006 s): the two CPU-clean superlinear pairs (1.002, 1.485) show
+lo-leg membw 0.0112/0.0201 — bandwidth-contaminated, self-identified in
+scaling_pairs.jsonl. The r6b admission rule is pre-registered and cannot
+change mid-series, so they stay in its median; the per-width-minima
+capability estimator above is the robust cross-check (host noise only ever
+ADDS time).
+
+**Pre-registered r7 admission rule (fixed 2026-08-18, before any r7-series
+pair exists): leg clean iff CPU median <= 0.95 AND CPU p90 <= 1.15 AND
+membw_median <= 0.010.** Under that rule zero of the 10 membw-instrumented
+r6 pairs survive — the shared host was bandwidth-noisy for the whole
+recording window — which is exactly the discrimination the rule is for.
+
 Input-size note: the fixed per-run floor (driver-side plan analysis,
 scheduling, vocab-sized stages) is measurement overhead that vanishes at
 the 10^12-turn design scale; small inputs understate efficiency for that
