@@ -410,9 +410,10 @@ ADDS time).
 
 **Pre-registered r7 admission rule (fixed 2026-08-18, before any r7-series
 pair exists): leg clean iff CPU median <= 0.95 AND CPU p90 <= 1.15 AND
-membw_median <= 0.010.** Under that rule zero of the 10 membw-instrumented
-r6 pairs survive — the shared host was bandwidth-noisy for the whole
-recording window — which is exactly the discrimination the rule is for.
+membw_median <= 0.010.** Under that rule zero of the membw-instrumented r6
+pairs recorded up to that date survive — the shared host was
+bandwidth-noisy for the whole recording window — which is exactly the
+discrimination the rule is for.
 
 Input-size note: the fixed per-run floor (driver-side plan analysis,
 scheduling, vocab-sized stages) is measurement overhead that vanishes at
