@@ -76,28 +76,39 @@ _PA_VOCAB_CACHE: dict[int, tuple] = {}
 
 
 def _vocab_arrays(keys_by_len: dict) -> dict:
-    """{span: (keys arrow array, distinct-first-words arrow array)} plus a
-    "_union" entry: (union word arrow array, uint8 bit-LUT with a 0 sentinel
-    slot, {span: bit}). The union collapses the family's per-span hash probes
-    (exact membership for span 1, first-word prefilter for span >= 2) into ONE
-    index_in pass at match time — each extra is_in was a full re-hash of the
-    token stream (~6-9 ms per probe on the 51k-turn batch)."""
+    """{span: (keys arrow array,)} plus a "_union" entry: (union word arrow
+    array, uint64 bit-LUT with a 0 sentinel slot, {span: bit}). The union
+    collapses the family's per-span hash probes (exact membership for span 1,
+    first-word prefilter for span >= 2) into ONE index_in pass at match time —
+    each extra is_in was a full re-hash of the token stream (~6-9 ms per probe
+    on the 51k-turn batch). The union LUT is the sole prefilter; per-span
+    first-word sets exist only transiently to build it (r6 advice: the cached
+    per-span firsts Arrow arrays were dead data)."""
     import pyarrow as pa
 
+    # one LUT bit per distinct n-gram span length; uint64 gives 64 before
+    # overflow (r6 advice: the old uint8 LUT silently capped a family at 8 —
+    # raising core.config.MAX_MENTION_TOKENS past that would corrupt masks)
+    if len(keys_by_len) > 64:
+        raise ValueError(
+            f"_vocab_arrays: {len(keys_by_len)} distinct n-gram span lengths "
+            "exceed the 64-bit union LUT (one bit per span length) — widen "
+            "the LUT dtype before raising MAX_MENTION_TOKENS this far"
+        )
     out = {}
     word_bits: dict[str, int] = {}
     bit_of: dict[int, int] = {}
     for bit_ix, k in enumerate(sorted(keys_by_len)):
         v = keys_by_len[k]
         keys = sorted(v)
-        firsts = sorted({key.split(" ", 1)[0] for key in keys}) if k > 1 else []
-        out[k] = (pa.array(keys, type=pa.string()), pa.array(firsts, type=pa.string()))
+        out[k] = (pa.array(keys, type=pa.string()),)
         bit = 1 << bit_ix
         bit_of[k] = bit
-        for w in (keys if k == 1 else firsts):
+        firsts = {key.split(" ", 1)[0] for key in keys} if k > 1 else keys
+        for w in firsts:
             word_bits[w] = word_bits.get(w, 0) | bit
     union = sorted(word_bits)
-    lut = np.zeros(len(union) + 1, dtype=np.uint8)  # slot 0 = not-in-union
+    lut = np.zeros(len(union) + 1, dtype=np.uint64)  # slot 0 = not-in-union
     for i, w in enumerate(union):
         lut[i + 1] = word_bits[w]
     out["_union"] = (pa.array(union, type=pa.string()), lut, bit_of)
@@ -184,7 +195,7 @@ def _ngram_masks(values, sent_of: np.ndarray, vocab_by_len: dict, pc):
     bits = lut[iix.to_numpy(zero_copy_only=False) + 1]
     out: list[tuple[int, np.ndarray, object, object]] = []
     for k in sorted((s for s in vocab_by_len if s != "_union"), reverse=True):
-        vocab, firsts = vocab_by_len[k]
+        (vocab,) = vocab_by_len[k]
         mask = np.zeros(total, dtype=bool)
         keys = None
         kpos = None

@@ -147,7 +147,16 @@ def p2_delta_threshold_filter(spark, sf_dir):
 def p4_percentile_filter(spark, sf_dir):
     """P4 percentile+floor filter (ref: context_pruning.py:36-51): per-group
     dynamic predicate — keep values above the group's 75th percentile AND a
-    fixed floor."""
+    fixed floor.
+
+    r7 note: the aggregate-then-broadcast-join form (percentile per group,
+    joined back onto an unshuffled scan — the shape that survives a single
+    hot group at 100 TB) was interleave-measured 0.59 vs 0.71 s at
+    sf1.0/local[32]: the window wins here because the join form pays a
+    second scan plus a DEPENDENT broadcast stage that AQE materializes
+    serially, while the group count (5) keeps the window's per-group tasks
+    healthy. Kept the window; switch to the join form when a group outgrows
+    one task."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
     return (
@@ -927,13 +936,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     This is the dedup family's exact baseline; the MinHash/SimHash variants
     are its sub-quadratic approximations — at 100 TB use those, or pass
     max_shingle_df to inverted_index_candidates (hot boilerplate shingles
-    leave candidate generation with a logged drop line)."""
-    from .operators.dedup import inverted_index_candidates, jaccard_verify, with_shingles
+    leave candidate generation with a logged drop line).
+
+    r7: verification now runs against a per-doc (n, hs) stats aggregate
+    (array_jaccard_verify) instead of re-joining the shingle table — the old
+    jaccard_verify shape re-derived and re-shuffled shingles three more
+    times (sa, sb, sizes) after candidate generation."""
+    from .operators.dedup import array_jaccard_verify, inverted_index_candidates, with_shingles
 
     docs = _t_wide(spark, sf_dir, "documents")
     sh = with_shingles(docs, n=3)
     cand = inverted_index_candidates(sh)
-    return jaccard_verify(cand, sh, threshold=0.5)
+    stats = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.xxhash64("shingle")).alias("hs"),
+    )
+    return array_jaccard_verify(cand, stats, threshold=0.5)
 
 
 @q(
@@ -1193,7 +1211,13 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (FAISS IndexFlatIP analog) — JVM-side math.
     kernel='fold' EXPLICITLY: the oracle is the sequential-fold twin, and an
-    explicit kernel keeps plan construction lazy (no auto dim-probe job)."""
+    explicit kernel keeps plan construction lazy (no auto dim-probe job).
+    r7 note: a bit-exact Arrow-batched fold twin (sequential accumulation
+    across dims in numpy, JVM round/divide/window unchanged; exceptAll-empty
+    vs fold at sf0.1 and sf1.0) measured SLOWER here (0.63 vs 0.45 s at
+    sf1.0/local[32]): the guarded query-side collect is a plan-time job and
+    the Python stage overhead exceeds the interpreted-fold cost at
+    20k x 64-d x 5 queries. The 768-d design point already takes matmul."""
     from .operators.similarity import cosine_topk
 
     emb = _t_wide(spark, sf_dir, "embeddings")
@@ -1436,11 +1460,17 @@ def q3_order_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    seg = c.agg(F.min("c_mktsegment")).first()[0]
     rev = F.expr(
         "(CAST(round(l_extendedprice * 100) AS BIGINT)"
         " * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) div 100"
     )
+    # r7 note: a "smaller broadcast" variant (orders pre-joined to the
+    # segment customers, lineitem probing one subset relation) was measured
+    # 3.2x SLOWER at sf1.0/local[32]: the dependent BroadcastExchange chain
+    # serializes under AQE's stage-by-stage materialization, while this flat
+    # shape builds its two independent broadcasts concurrently and streams
+    # lineitem once. Kept flat deliberately.
+    seg = c.agg(F.min("c_mktsegment")).first()[0]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == seg)), o.o_custkey == F.col("c_custkey"))
@@ -1739,11 +1769,17 @@ def q5_join_breadth(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    rname = r.agg(F.min("r_name")).first()[0]
     rev = F.expr(
         "(CAST(round(l_extendedprice * 100) AS BIGINT)"
         " * CAST(round((1 - l_discount) * 100) AS BIGINT) + 50) div 100"
     )
+    # r7 note: a "smaller broadcast" variant (region->nation->customer chain
+    # collapsed onto orders first, lineitem probing two build sides instead
+    # of five) was measured 2.3x SLOWER at sf1.0/local[32]: the dependent
+    # BroadcastExchange chain serializes under AQE's stage-by-stage
+    # materialization, while this flat shape builds its five independent
+    # broadcasts concurrently and streams lineitem once. Kept flat.
+    rname = r.agg(F.min("r_name")).first()[0]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

@@ -214,12 +214,27 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
 
     Shingle = space-joined n consecutive tokens; texts shorter than n tokens
     yield their full token string as the single shingle.
-    """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - 1)
-    shingle = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+
+    r7 kernel: overlapping n-grams come from ONE regexp_extract_all pass over
+    the whitespace-normalized string — a zero-width token-start anchor
+    ((?<=^)|(?<= )) plus a capturing lookahead — instead of the interpreted
+    transform(slice+array_join) higher-order chain (one array alloc + string
+    join per shingle per row; measured 1.60 -> 0.35 s for the shingle table
+    at sf1.0/local[32], value-identical on every testdata scale and on
+    adversarial edge/empty/multibyte-token strings). Equivalence notes:
+    collapsing separator runs to single spaces == split-then-join; token
+    count = space count + 1 (split keeps empty edge fields, and runs are
+    already collapsed so interior empties cannot occur); [^ ]* in the
+    lookahead matches the empty edge tokens exactly like the old slice."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("_n"))
+    n_toks = F.length("_n") - F.length(F.regexp_replace("_n", " ", "")) + F.lit(1)
+    gram = " ".join(["[^ ]*"] * n)
+    pat = f"(?:(?<=^)|(?<= ))(?=({gram}))"
+    arr = F.when(n_toks < n, F.array("_n")).otherwise(
+        F.regexp_extract_all("_n", F.lit(pat), F.lit(1))
+    )
+    return d.select("id", F.explode(F.array_distinct(arr)).alias("shingle"))
 
 
 def minhash_hash_expr(i: int, col=None):
@@ -393,6 +408,38 @@ def inverted_index_candidates(
     )
 
 
+def array_jaccard_verify(
+    pairs: DataFrame,
+    doc_stats: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs against per-doc shingle-hash
+    ARRAYS: `doc_stats` is (id, n, hs) where hs = collect_list of
+    xxhash64(shingle) over the doc's (already distinct) shingles and n the
+    exact shingle count. n_inter = size(array_intersect(hs_a, hs_b)) — no
+    join against the shingle table, so verification adds ZERO shingle-sized
+    shuffles (the r7 shape; `jaccard_verify` below remains the join-based
+    twin for callers without a stats aggregate). Same 64-bit-collision
+    tolerance as the hashed-key join it replaces."""
+    va = doc_stats.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("hs").alias("hs_a")
+    )
+    vb = doc_stats.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("hs").alias("hs_b")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingles: DataFrame,
@@ -514,19 +561,7 @@ def minhash_dedup(
         agg.filter(F.size("hs") >= 0), num_hashes=num_hashes, bands=bands,
         max_bucket=max_bucket,
     )
-    va = agg.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("hs").alias("hs_a"))
-    vb = agg.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("hs").alias("hs_b"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return array_jaccard_verify(cand, agg.select("id", "n", "hs"), threshold=threshold)
 
 
 # --- simhash -----------------------------------------------------------------
