@@ -1045,9 +1045,9 @@ def corpus_clean_pipeline(spark, sf_dir):
     keep = english AND quality >= 0.5 AND exact representative AND (not
     near-duplicated OR the group representative)."""
     from .operators.dedup import (
+        array_jaccard_verify,
         connected_components,
         inverted_index_candidates,
-        jaccard_verify,
         with_shingles,
     )
     from .operators.text_analysis import STOPWORDS, lang_id
@@ -1055,10 +1055,16 @@ def corpus_clean_pipeline(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     # exact-dup representative
     er = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep"))
-    # near-dup groups (exact n-gram Jaccard pairs @0.5 -> components)
+    # near-dup groups (exact n-gram Jaccard pairs @0.5 -> components);
+    # r7: pairs verified against the per-doc (n, hs) stats aggregate — no
+    # shingle-table re-joins (same shape as dedup_ngram_jaccard)
     sh = with_shingles(docs, n=3)
     cand = inverted_index_candidates(sh)
-    comp = connected_components(jaccard_verify(cand, sh, threshold=0.5))
+    stats = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.xxhash64("shingle")).alias("hs"),
+    )
+    comp = connected_components(array_jaccard_verify(cand, stats, threshold=0.5))
     # quality (same floor-scaled formula as text_quality_score)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pr = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.greatest(
@@ -1135,18 +1141,26 @@ def dedup_duplicate_groups(spark, sf_dir):
     group. The oracle computes the same transitive closure with a DuckDB
     recursive CTE. Reference analog: the dedup-by-query grouping the
     filtering pipeline applies before scoring (rag2-filtering/main.py:34-96),
-    generalized to transitive duplicate clusters."""
+    generalized to transitive duplicate clusters.
+
+    r7: pair verification runs against the per-doc (n, hs) stats aggregate
+    (array_jaccard_verify) instead of re-joining the shingle table — same
+    shape change as dedup_ngram_jaccard."""
     from .operators.dedup import (
+        array_jaccard_verify,
         connected_components,
         inverted_index_candidates,
-        jaccard_verify,
         with_shingles,
     )
 
     docs = _t_wide(spark, sf_dir, "documents")
     sh = with_shingles(docs, n=3)
     cand = inverted_index_candidates(sh)
-    pairs = jaccard_verify(cand, sh, threshold=0.5)
+    stats = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.xxhash64("shingle")).alias("hs"),
+    )
+    pairs = array_jaccard_verify(cand, stats, threshold=0.5)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "group_id"
     )
